@@ -1,0 +1,264 @@
+"""Configuration system.
+
+Reproduces the reference's parameter surface (``REBVOParameters``,
+reference include/rebvo/rebvo.h:64-235) and its INI-like config-file
+format (``&Section`` headers, ``name=value`` pairs, ``//`` comments;
+reference src/UtilLib/configurator.cpp) so existing REBVO config files
+(e.g. app/rebvorun/GlobalConfig_EuRoC) translate 1:1.
+
+Unlike the reference (which aborts when any key is missing,
+reference src/rebvo/rebvo.cpp:53-193), missing keys here fall back to
+the canonical EuRoC defaults; `load_config(path, strict=True)` restores
+the reference behaviour.
+
+Added TPU-specific keys live in the ``&TPU`` section: keyline batch
+size (``KeylineMax``), mesh shape, dtypes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Parameter container — names follow the reference config keys.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class REBVOParameters:
+    # --- &Detector (reference rebvo.cpp:106-121) ---
+    Sigma0: float = 1.7818
+    KSigma: float = 1.2599
+    ReferencePoints: int = 12000
+    MaxPoints: int = 16000
+    TrackPoints: int = 12000
+    DetectorThresh: float = 0.01
+    DetectorAutoGain: float = 5e-7
+    DetectorMaxThresh: float = 0.5
+    DetectorMinThresh: float = 0.005
+    DetectorPlaneFitSize: int = 2
+    DetectorPosNegThresh: float = 0.4
+    DetectorDoGThresh: float = 0.095259868922420
+
+    # --- &TrackMaper (reference rebvo.cpp:123-146) ---
+    SearchRange: int = 40
+    QCutOffNumBins: int = 100
+    QCutOffQuantile: float = 0.9
+    TrackerIterNum: int = 5
+    TrackerInitType: int = 2
+    TrackerInitIterNum: int = 2
+    TrackerMatchThresh: float = 0.5
+    MatchThreshModule: float = 1.0
+    MatchThreshAngle: float = 45.0
+    MatchNumThresh: int = 0
+    ReweigthDistance: float = 2.0
+    RegularizeThresh: float = 0.5
+    LocationUncertaintyMatch: float = 2.0
+    ReshapeQAbsolute: float = 1e-4
+    ReshapeQRelative: float = 1.6968e-4
+    LocationUncertainty: float = 1.0
+    DoReScaling: int = 0
+    GlobalMatchThreshold: int = 500
+
+    # --- &Camera (reference rebvo.cpp:57-99) ---
+    ZfX: float = 458.654
+    ZfY: float = 457.296
+    PPx: float = 367.215
+    PPy: float = 248.375
+    KcR2: float = -0.28340811
+    KcR4: float = 0.07395907
+    KcR6: float = 0.0
+    KcP1: float = 0.00019359
+    KcP2: float = 1.76187114e-05
+    ImageWidth: int = 752
+    ImageHeight: int = 480
+    config_fps: float = 20.0        # key "FPS"
+    soft_fps: float = 20.0          # key "SoftFPS" (defaults to FPS)
+    useUndistort: int = 1           # key "UseUndistort"
+    rotatedCam: int = 0             # key "Rotate180"
+    CameraDevice: str = "/dev/video0"
+
+    # --- &REBVO (reference rebvo.cpp:62-105) ---
+    CameraType: int = 2
+    VideoNetHost: str = "127.0.0.1"
+    VideoNetPort: int = 2708
+    BlockingUDP: int = 0
+    VideoNetEnabled: int = 0
+    VideoSave: int = 0
+    VideoSaveFile: str = "EncodedVideo.mjpeg"
+    VideoSaveBuffersize: int = 200000000
+    EncoderType: int = 0
+    EncoderDevice: str = "/dev/video9"
+    EdgeMapDelay: int = 0
+    SaveLog: int = 1
+    LogFile: str = "rebvo_log.m"
+    TrayFile: str = "rebvo_tray.txt"
+    StereoAvaiable: int = 0
+    TrackKeyFrames: int = 0
+    KFSavePercent: float = 0.7
+
+    # --- &DataSetCamera (reference rebvo.cpp:66-75) ---
+    DataSetDir: str = ""
+    DataSetFile: str = ""
+    DataSetDirStereo: str = ""
+    DataSetFileStereo: str = ""
+    CamTimeScale: float = 1e-9      # key "TimeScale" in &DataSetCamera
+
+    # --- &IMU (reference rebvo.cpp:148-193) ---
+    ImuMode: int = 0
+    ImuFile: str = ""
+    CamImuSE3File: str = ""
+    ImuTimeScale: float = 1e-9      # key "TimeScale" in &IMU
+    TimeDesinc: float = 0.0
+    InitBias: int = 1
+    InitBiasFrameNum: int = 10
+    BiasHintX: float = 0.0
+    BiasHintY: float = 0.0
+    BiasHintZ: float = 0.0
+    GiroMeasStdDev: float = 1.6968e-04
+    GiroBiasStdDev: float = 1.9393e-05
+    AcelMeasStdDev: float = 2.0000e-3
+    g_module: float = 9.8
+    g_module_uncer: float = 0.2e3
+    g_uncert: float = 2e-3
+    VBiasStdDev: float = 1e-7
+    ScaleStdDevMult: float = 1e-2
+    ScaleStdDevMax: float = 1e-4
+    ScaleStdDevInit: float = 1.2e-3
+    CircBufferSize: int = 1000
+    SampleTime: float = 0.00125
+    DeviceName: str = "/dev/ttySAC2"
+
+    # --- &Stereo (reference rebvo.cpp:196-221) ---
+    StereoZfX: float = 457.587
+    StereoZfY: float = 456.134
+    StereoPPx: float = 379.999
+    StereoPPy: float = 255.238
+    StereoKcR2: float = -0.28368365
+    StereoKcR4: float = 0.07451284
+    StereoKcR6: float = 0.0
+    StereoKcP1: float = -0.00010473
+    StereoKcP2: float = -3.555907e-05
+
+    # --- &SimuCamera ---
+    SimVideoFile: str = "sim_video"
+    SimVideoNFrames: int = 500
+    SimuTimeOn: int = 0
+    SimuTimeSweep: float = 3.0
+    SimuTimeStep: float = 1e5
+    SimuTimeStart: float = -2.0
+
+    # --- &ProcesorConfig (affinity: kept for config parity, unused) ---
+    cpuSetAffinity: int = 0
+    cpu0: int = 1
+    cpu1: int = 2
+    cpu2: int = 3
+
+    # --- &TPU (new: device-execution parameters, no reference analogue) ---
+    KeylineMax: int = 16384        # fixed keyline-batch size (SoA slots)
+    MatchMaxSteps: int = 44        # static bound on epipolar search steps
+    MeshDataAxis: int = 1          # sequences sharded over this many devices
+    UseBf16Images: int = 0         # bfloat16 image path
+
+    # ------------------------------------------------------------------
+
+    def replace(self, **kw) -> "REBVOParameters":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def zf_mean(self) -> float:
+        """Mean focal length ('zfm' in the reference, cam_model.h:52)."""
+        return 0.5 * (self.ZfX + self.ZfY)
+
+
+# Mapping (section, key) -> dataclass field for names that differ.
+_KEY_ALIASES: Dict[Tuple[str, str], str] = {
+    ("Camera", "FPS"): "config_fps",
+    ("Camera", "SoftFPS"): "soft_fps",
+    ("Camera", "UseUndistort"): "useUndistort",
+    ("Camera", "Rotate180"): "rotatedCam",
+    ("DataSetCamera", "TimeScale"): "CamTimeScale",
+    ("IMU", "TimeScale"): "ImuTimeScale",
+    ("Stereo", "ZfX"): "StereoZfX",
+    ("Stereo", "ZfY"): "StereoZfY",
+    ("Stereo", "PPx"): "StereoPPx",
+    ("Stereo", "PPy"): "StereoPPy",
+    ("Stereo", "KcR2"): "StereoKcR2",
+    ("Stereo", "KcR4"): "StereoKcR4",
+    ("Stereo", "KcR6"): "StereoKcR6",
+    ("Stereo", "KcP1"): "StereoKcP1",
+    ("Stereo", "KcP2"): "StereoKcP2",
+    ("ProcesorConfig", "SetAffinity"): "cpuSetAffinity",
+    ("ProcesorConfig", "CamaraT1"): "cpu0",
+    ("ProcesorConfig", "CamaraT2"): "cpu1",
+    ("ProcesorConfig", "CamaraT3"): "cpu2",
+}
+
+
+def parse_config_text(text: str) -> Dict[Tuple[str, str], str]:
+    """Parse the reference's config format into {(section, key): value}.
+
+    Grammar (reference src/UtilLib/configurator.cpp:33-155): lines are
+    ``&Section`` or ``key=value``; ``//`` starts a comment; whitespace is
+    stripped; a trailing ``;`` on values is tolerated.
+    """
+    entries: Dict[Tuple[str, str], str] = {}
+    section = ""
+    for raw in text.splitlines():
+        line = raw.split("//", 1)[0].strip()
+        if not line:
+            continue
+        if line.startswith("&"):
+            section = line[1:].strip()
+            continue
+        if "=" not in line:
+            continue
+        key, val = line.split("=", 1)
+        key = key.strip()
+        val = val.strip().rstrip(";").strip()
+        entries[(section, key)] = val
+    return entries
+
+
+def _coerce(raw: str, pytype: type):
+    if pytype is int:
+        return int(float(raw))  # reference uses atof for everything
+    if pytype is float:
+        return float(raw)
+    return raw
+
+
+def params_from_entries(
+    entries: Dict[Tuple[str, str], str], strict: bool = False
+) -> REBVOParameters:
+    params = REBVOParameters()
+    fields = {f.name: f for f in dataclasses.fields(REBVOParameters)}
+    updates = {}
+    seen = set()
+    for (section, key), raw in entries.items():
+        name = _KEY_ALIASES.get((section, key), key)
+        f = fields.get(name)
+        if f is None:
+            continue  # unknown key: ignored (forward compatible)
+        updates[name] = _coerce(raw, f.type if isinstance(f.type, type) else type(getattr(params, name)))
+        seen.add(name)
+    if strict:
+        missing = set(fields) - seen
+        # TPU section and purely-optional reference keys are exempt.
+        optional = {
+            "KeylineMax", "MatchMaxSteps", "MeshDataAxis", "UseBf16Images",
+            "soft_fps", "TrackKeyFrames", "KFSavePercent",
+        }
+        missing -= optional
+        if missing:
+            raise ValueError(f"missing mandatory config keys: {sorted(missing)}")
+    return params.replace(**updates)
+
+
+def load_config(path: str, strict: bool = False) -> REBVOParameters:
+    with open(path) as fh:
+        return params_from_entries(parse_config_text(fh.read()), strict=strict)
