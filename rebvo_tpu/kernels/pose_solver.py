@@ -1,24 +1,38 @@
 """Frame-to-frame pose estimation by direct edge alignment.
 
-Re-implements global_tracker's TryVelRot / Minimizer_RV and the
-translation-only TryVel / Minimizer_V (reference
+Re-implements the behaviour of global_tracker's TryVelRot / Minimizer_RV
+and the translation-only Minimizer_V (reference
 src/mtracklib/global_tracker.cpp:285-1093) as batched device kernels:
 
   * the per-keyline residual is a gather into the match-field image plus
     a normal-direction distance to the matched keyline, with the
-    reference's gradient-similarity gate (Test_f_k, global_tracker.h:89)
-    and per-point noise shaping q_rho = sqrt((s_rho * df/dv)^2 + 1)
-    (global_tracker.cpp:452-463);
+    reference's gradient-similarity gate (Test_f_k, global_tracker.h:89);
   * the 6-dof Jacobian is assembled analytically (the reference builds it
     from NE10 vector ops with post-hoc sign fixes; here the signs are
     derived directly from the left-perturbation model d(Rp)/dw = -[Rp]x);
   * JtJ / JtF are [K,6]^T [K,6] contractions (MXU-friendly);
-  * the Levenberg-Marquardt loop keeps the reference's structure: double
-    warm-start (zero init and prior init, no reweighting), then
-    `iter_max` Huber-reweighted iterations with gain-ratio damping
-    u *= max(0.33, 1 - (2g - 1)^3).
+  * the Levenberg-Marquardt driver keeps the reference's structure:
+    double warm start (zero init and prior init), then the main loop with
+    gain-ratio damping u *= max(0.33, 1 - (2g - 1)^3).
 
-All shapes are static; the whole minimisation jits into one program.
+Scoring deviates deliberately from the reference, whose robust cost is
+assembled from *lagged* Huber weights and a *state-dependent* noise model
+(global_tracker.cpp:409-463). Both make consecutive LM score comparisons
+inconsistent, with three measurable failure modes (reproduced in
+tests/test_pose_solver.py's development history): converged maps veto
+every step (new misses priced at max_r^2 vs k^2 for old ones), |V|-
+inflating steps are spuriously rewarded (the noise grows with the state),
+and pure forward motion is never recovered (border misses dominate).
+Here the cost is a proper robust M-estimate, identical to the
+reference's at its fixed point but history-free:
+
+    score(X) = sum_i  0                      (gated)
+             | huber_k(f_i / q_i)            (matched)
+             | k^2                           (miss: Huber saturation)
+
+with IRLS weights from the *current* residuals and the noise shaping
+q_i = sqrt((min(s_rho, 1) * qvel_i)^2 + 1) frozen once per frame at the
+prior state (it is a noise model, not part of the state).
 """
 
 from __future__ import annotations
@@ -56,39 +70,34 @@ class FieldView(NamedTuple):
 
 
 class TryVelRotResult(NamedTuple):
-    score: Array      # total residual energy
-    JtJ: Array        # [6, 6]
-    JtF: Array        # [6]
-    residual: Array   # [K] new distance residuals (next iteration's weights)
+    score: Array      # total robust cost
+    JtJ: Array        # [6, 6] IRLS normal matrix
+    JtF: Array        # [6]    IRLS gradient (equals d(score/2)/dX)
+    residual: Array   # [K] raw normal-distance residuals (diagnostic)
     m_id_f: Array     # [K] forward match ids into the new map (-1 = none)
-
-
-def _rot2d_z(wz: Array):
-    c = jnp.cos(wz)
-    s = jnp.sin(wz)
-    return c, s
+    q_rho: Array      # [K] noise shaping evaluated at this state
 
 
 def try_vel_rot(
     X: Array,                      # [6] state: [V; W]
     old: KeylineMap,               # old edge-map (points being aligned)
     fv: FieldView,                 # new edge-map's field
-    prev_residual: Array,          # [K] distance residuals of last iteration
+    q_frozen: Array = None,        # [K] per-frame noise shaping (or None)
     *,
     zfm: Array,
     cx: Array,
     cy: Array,
     width: int,
     height: int,
-    max_r: Array,                  # search radius (max residual)
+    max_r: Array,                  # kept for API parity (miss cost is k^2)
     match_thresh: float,           # Test_f_k similarity threshold
     max_s_rho: Array,              # uncertainty cut-off (quantile)
     match_num_min: Array,          # min(MatchNumThresh, FrameCount)
     k_huber: float,
-    reweight: bool,
 ) -> TryVelRotResult:
-    """One residual/Jacobian evaluation (TryVelRot,
-    global_tracker.cpp:285-543)."""
+    """One robust residual/Jacobian evaluation (the reference's TryVelRot,
+    global_tracker.cpp:285-543, with the self-consistent cost described in
+    the module docstring)."""
     dt = old.x.dtype
     V = X[:3]
     W = X[3:]
@@ -128,7 +137,8 @@ def try_vel_rot(
 
     # Gradient-similarity gate with the z-rotated query gradient
     # (global_tracker.cpp:386-393 + Test_f_k).
-    c, s = _rot2d_z(W[2])
+    c = jnp.cos(W[2])
+    s = jnp.sin(W[2])
     gmx = c * old.gx - s * old.gy
     gmy = s * old.gx + c * old.gy
     f_gx = fv.gx[j_safe]
@@ -147,37 +157,43 @@ def try_vel_rot(
     fi = dx * fux + dy * fuy
 
     matched = (~gated) & (~oob) & (~miss)
-
-    # Huber reweighting from the previous iteration's residuals.
-    if reweight:
-        w_abs = jnp.abs(prev_residual)
-        weight = jnp.where(w_abs > k_huber, k_huber / jnp.where(w_abs > 0, w_abs, 1.0), 1.0)
-    else:
-        weight = jnp.ones_like(old.x)
-
     dfx = jnp.where(matched, fux, 0.0)
     dfy = jnp.where(matched, fuy, 0.0)
-    fm = jnp.where(gated, 0.0, jnp.where(matched, fi, max_r)) * weight
-    dfx = dfx * weight
-    dfy = dfy * weight
 
-    new_residual = jnp.where(matched, fi, jnp.where(gated, prev_residual, max_r))
-    m_id_f = jnp.where(matched, j, -1)
-
-    # Per-point noise shaping (global_tracker.cpp:452-463).
+    # Noise shaping (global_tracker.cpp:452-463) with s_rho capped so a
+    # bootstrap map (s_rho at RHO_MAX) does not suppress exactly the
+    # motion-sensitive keylines.
+    s_shape = jnp.minimum(old.s_rho, 1.0)
     qvel = zfm * dfx * V[0] + zfm * dfy * V[1] + (qx * dfx + qy * dfy) * V[2]
-    if reweight:
-        q_rho = jnp.sqrt(jnp.square(old.s_rho * qvel) + 1.0)
-    else:
-        q_rho = jnp.where(old.s_rho > 0, old.s_rho, 1.0)
-    inv_q = 1.0 / q_rho
+    q_self = jnp.sqrt(jnp.square(s_shape * qvel) + 1.0)
+    q = q_self if q_frozen is None else q_frozen
+    inv_q = 1.0 / q
+
+    # Robust cost: capped quadratic min(r^2, k^2) — the fixed point of the
+    # reference's squared lagged weights ((k/|r|)^2 * r^2 = k^2 for
+    # outliers) is a redescending estimator whose outlier cost SATURATES;
+    # a linear (Huber) tail would let far wrong matches outvote the
+    # inliers. Outliers therefore contribute a constant and zero
+    # gradient, identical to misses.
+    r = jnp.where(matched, fi * inv_q, 0.0)
+    abs_r = jnp.abs(r)
+    k = jnp.asarray(k_huber, dt)
+    inlier = matched & (abs_r <= k)
+    cost_m = jnp.minimum(r * r, k * k)
+    w = jnp.where(inlier, 1.0, 0.0)
+
+    cost = jnp.where(gated, 0.0, jnp.where(matched, cost_m, k * k))
+    score = jnp.sum(jnp.where(old.valid, cost, 0.0))
+
+    m_id_f = jnp.where(matched, j, -1)
 
     # Analytic Jacobian wrt [V; W] (left perturbation, signs derived —
     # equivalent to the reference's sign-corrected NE10 assembly,
-    # global_tracker.cpp:497-516).
+    # global_tracker.cpp:497-516), scaled for IRLS: JtJ = J^T W J.
     a = rho_p * zfm * dfx
     b = rho_p * zfm * dfy
     ct = rho_p * (qx * dfx + qy * dfy)
+    sw = jnp.sqrt(w) * inv_q
     J = jnp.stack(
         [
             a,
@@ -188,22 +204,21 @@ def try_vel_rot(
             -a * pty + b * ptx,
         ],
         axis=-1,
-    ) * inv_q[:, None]
-    J = jnp.where(old.valid[:, None], J, 0.0)
-    fms = jnp.where(old.valid, fm * inv_q, 0.0)
+    ) * sw[:, None]
+    J = jnp.where((old.valid & matched)[:, None], J, 0.0)
+    fw = jnp.where(old.valid & matched, r * jnp.sqrt(w), 0.0)
 
     JtJ = jnp.einsum("ki,kj->ij", J, J, precision=_HI)
-    JtF = jnp.einsum("ki,k->i", J, fms, precision=_HI)
-    score = jnp.sum(fms * fms)
+    JtF = jnp.einsum("ki,k->i", J, fw, precision=_HI)
 
     return TryVelRotResult(score=score, JtJ=JtJ, JtF=JtF,
-                           residual=new_residual, m_id_f=m_id_f)
+                           residual=jnp.where(matched, fi, jnp.asarray(0.0, dt)),
+                           m_id_f=m_id_f, q_rho=q_self)
 
 
 def _lm_damping_update(u, v, gain):
     fac = jnp.maximum(0.33, 1.0 - (2.0 * gain - 1.0) ** 3)
-    u_acc = u * fac
-    return u_acc, jnp.full_like(v, 2.0)
+    return u * fac, jnp.full_like(v, 2.0)
 
 
 def _solve_lm(JtJ: Array, JtF: Array, u: Array) -> Array:
@@ -235,101 +250,69 @@ def minimizer_rv(
     match_num_min: Array, k_huber: float,
     iter_max: int, init_iter: int, init_type: int = 2,
 ) -> MinimizerRVResult:
-    """Levenberg-Marquardt over [V; W] (Minimizer_RV,
-    global_tracker.cpp:578-819), priors disabled as in the reference's
-    vision-only call path (rebvo_second_t.cpp:343)."""
+    """Levenberg-Marquardt over [V; W] (the reference's Minimizer_RV,
+    global_tracker.cpp:578-819; priors disabled as in its vision-only
+    call path, rebvo_second_t.cpp:343). All phases share one robust cost
+    with the noise shaping frozen at the prior state."""
     dt = old.x.dtype
-    K = old.K
     tau = jnp.asarray(1e-3, dt)
 
     kw = dict(zfm=zfm, cx=cx, cy=cy, width=width, height=height,
               max_r=max_r, match_thresh=match_thresh, max_s_rho=max_s_rho,
               match_num_min=match_num_min, k_huber=k_huber)
 
-    def ev(X, res, reweight):
-        return try_vel_rot(X, old, fv, res, reweight=reweight, **kw)
+    prior_X = jnp.concatenate([Vel, W0])
+    # Freeze the noise shaping at the prior state for the whole frame.
+    q_frame = try_vel_rot(prior_X, old, fv, None, **kw).q_rho
 
-    zero_res = jnp.zeros((K,), dt)
+    def ev(X):
+        return try_vel_rot(X, old, fv, q_frame, **kw)
 
-    def warm_start(X0):
-        """init_iter no-reweight LM iterations from X0; returns (X, F, res)."""
-        r = ev(X0, zero_res, False)
+    def lm_phase(X0, n_iter, r0=None):
+        r = ev(X0) if r0 is None else r0
+        F_init = r.score
         F = r.score
-        JtJ, JtF = r.JtJ, r.JtF
+        JtJ, JtF, m_id_f = r.JtJ, r.JtF, r.m_id_f
         u = tau * jnp.max(JtJ)
         v = jnp.asarray(2.0, dt)
         X = X0
-        res = r.residual
         eff = jnp.zeros((), jnp.int32)
-        for _ in range(init_iter):
-            h = _solve_lm(JtJ, JtF, u)
-            Xn = X + h
-            rn = ev(Xn, zero_res, False)
-            gain = (F - rn.score) / (0.5 * jnp.dot(h, u * h - JtF))
+        h = jnp.zeros((6,), dt)
+        for _ in range(n_iter):
+            h_new = _solve_lm(JtJ, JtF, u)
+            Xn = X + h_new
+            rn = ev(Xn)
+            gain = (F - rn.score) / (0.5 * jnp.dot(h_new, u * h_new - JtF))
             acc = gain > 0
             X = jnp.where(acc, Xn, X)
             F = jnp.where(acc, rn.score, F)
             JtJ = jnp.where(acc, rn.JtJ, JtJ)
             JtF = jnp.where(acc, rn.JtF, JtF)
-            res = jnp.where(acc, rn.residual, res)
+            m_id_f = jnp.where(acc, rn.m_id_f, m_id_f)
             u_acc, v_acc = _lm_damping_update(u, v, gain)
             u = jnp.where(acc, u_acc, u * v)
             v = jnp.where(acc, v_acc, v * 2.0)
             eff = eff + acc.astype(jnp.int32)
-        return X, F, res, eff
+            h = jnp.where(acc, h_new, h)
+        return X, F, JtJ, JtF, m_id_f, eff, h, F_init
 
-    prior_X = jnp.concatenate([Vel, W0])
     if init_type == 0:
         X = jnp.zeros((6,), dt)
-        res0 = zero_res
-        eff0 = jnp.zeros((), jnp.int32)
     elif init_type == 1:
         X = prior_X
-        res0 = zero_res
-        eff0 = jnp.zeros((), jnp.int32)
     else:
-        Xa, Fa, resa, _ = warm_start(jnp.zeros((6,), dt))
-        Xb, Fb, resb, effb = warm_start(prior_X)
-        use_b = Fb <= Fa
-        X = jnp.where(use_b, Xb, Xa)
-        res0 = jnp.where(use_b, resb, resa)
-        eff0 = jnp.zeros((), jnp.int32)
+        Xa, Fa, *_ = lm_phase(jnp.zeros((6,), dt), init_iter)
+        Xb, Fb, *_ = lm_phase(prior_X, init_iter)
+        X = jnp.where(Fb <= Fa, Xb, Xa)
 
-    # Reweighted phase.
-    r = ev(X, res0, True)
-    F0 = r.score
-    F = r.score
-    JtJ, JtF = r.JtJ, r.JtF
-    res = r.residual
-    m_id_f = r.m_id_f
-    u = tau * jnp.max(JtJ)
-    v = jnp.asarray(2.0, dt)
-    eff = eff0
-    h = jnp.zeros((6,), dt)
-    prev_res = res0
-    for _ in range(iter_max):
-        h_new = _solve_lm(JtJ, JtF, u)
-        Xn = X + h_new
-        rn = ev(Xn, prev_res, True)
-        gain = (F - rn.score) / (0.5 * jnp.dot(h_new, u * h_new - JtF))
-        acc = gain > 0
-        X = jnp.where(acc, Xn, X)
-        F = jnp.where(acc, rn.score, F)
-        JtJ = jnp.where(acc, rn.JtJ, JtJ)
-        JtF = jnp.where(acc, rn.JtF, JtF)
-        prev_res = jnp.where(acc, rn.residual, prev_res)
-        m_id_f = jnp.where(acc, rn.m_id_f, m_id_f)
-        u_acc, v_acc = _lm_damping_update(u, v, gain)
-        u = jnp.where(acc, u_acc, u * v)
-        v = jnp.where(acc, v_acc, v * 2.0)
-        eff = eff + acc.astype(jnp.int32)
-        h = jnp.where(acc, h_new, h)
+    X, F, JtJ, JtF, m_id_f, eff, h, F0 = lm_phase(X, iter_max)
 
     RRV = jnp.linalg.inv(JtJ)
     any_eff = eff > 0
     rel_error = jnp.where(
         any_eff, jnp.linalg.norm(h) / (jnp.linalg.norm(X) + 1e-30), 1e20)
-    rel_error_score = jnp.where(any_eff, F / jnp.where(F0 > 0, F0, 1.0), 1e20)
+    rel_error_score = jnp.where(
+        any_eff, F / jnp.where(F0 > 0, F0, 1.0), 1e20)
 
     return MinimizerRVResult(
         Vel=X[:3], W0=X[3:], RVel=RRV[:3, :3], RW0=RRV[3:, 3:], W_X=JtJ,

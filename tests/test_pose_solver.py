@@ -52,8 +52,7 @@ def test_tryvelrot_zero_residual_at_truth():
     W_true = np.array([0.01, -0.02, 0.005])
     old, new, fv = build_scene(V_true, W_true)
     X = jnp.asarray(np.concatenate([V_true, W_true]), jnp.float32)
-    r = try_vel_rot(X, old, fv, jnp.zeros(K, jnp.float32),
-                    reweight=True, **common_kwargs())
+    r = try_vel_rot(X, old, fv, **common_kwargs())
     n_match = int(jnp.sum(r.m_id_f >= 0))
     n_old = int(jnp.sum(old.valid))
     assert n_match > 0.9 * n_old
@@ -90,13 +89,11 @@ def test_tryvelrot_jacobian_vs_autodiff():
     X0 = jnp.asarray(np.concatenate([V_true, W_true]) * 0.9, jnp.float32)
 
     def half_score(X):
-        r = try_vel_rot(X, old, fv, jnp.zeros(K, jnp.float32),
-                        reweight=True, **kw)
+        r = try_vel_rot(X, old, fv, **kw)
         return 0.5 * r.score
 
     g_auto = jax.grad(half_score)(X0)
-    r = try_vel_rot(X0, old, fv, jnp.zeros(K, jnp.float32), reweight=True,
-                    **kw)
+    r = try_vel_rot(X0, old, fv, **kw)
     ga = np.asarray(g_auto, np.float64)
     jf = np.asarray(r.JtF, np.float64)
     scale = np.abs(ga).max()

@@ -1,0 +1,174 @@
+"""End-to-end VO front-end tests on rendered synthetic sequences."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rebvo_tpu.config import REBVOParameters
+from rebvo_tpu.frontend.step import VOFrontend
+from rebvo_tpu.io.trajectory import ate_rmse
+from tests.render import render_plane_seq
+
+# Small frames + small keyline budget keep CPU test time reasonable.
+SMALL = dict(width=376, height=240, zf=200.0, cx=188.0, cy=120.0, z0=3.0)
+
+
+def small_params(**kw):
+    p = REBVOParameters().replace(
+        ImageWidth=SMALL["width"], ImageHeight=SMALL["height"],
+        ZfX=SMALL["zf"], ZfY=SMALL["zf"], PPx=SMALL["cx"], PPy=SMALL["cy"],
+        KcR2=0.0, KcR4=0.0, KcP1=0.0, KcP2=0.0,
+        # Headroom above the steady-state count (~3000): the cap truncates
+        # in raster order and TrackPoints below the live count drops the
+        # weakest keylines from the match field — both create misses.
+        KeylineMax=8192, MaxPoints=8192, ReferencePoints=3000,
+        TrackPoints=8192, GlobalMatchThreshold=200,
+        # Start near the steady-state threshold with a gentle gain: a hot
+        # transient (cap truncation one frame, threshold spike the next)
+        # hands the minimiser two inconsistent maps and poisons bootstrap.
+        DetectorThresh=0.03, DetectorAutoGain=1e-6,
+        **kw)
+    return p
+
+
+def run_sequence(frames, params, fps=20.0):
+    fe = VOFrontend(params)
+    state = fe.init()
+    state = fe.bootstrap(state, jnp.asarray(frames[0]), jnp.asarray(0.0))
+    navs = []
+    for i in range(1, frames.shape[0]):
+        state, out = fe.step(state, jnp.asarray(frames[i]),
+                             jnp.asarray(i / fps))
+        navs.append(out)
+    return state, navs
+
+
+TILT = (0.35, 0.25, 1.0)   # tilted plane: depth variation breaks the
+                           # fronto-parallel Vy/Wx, Vx/Wy degeneracies
+
+
+@pytest.fixture(scope="module")
+def translating_seq():
+    n = 12
+    step_x = 0.02
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.arange(n) * step_x
+    frames, depths = render_plane_seq(n, cam_positions=pos,
+                                      plane_normal=TILT, return_depth=True,
+                                      **SMALL)
+    return frames, pos, depths
+
+
+def test_translation_sequence(translating_seq):
+    frames, pos_true, _ = translating_seq
+    state, navs = run_sequence(frames, small_params())
+
+    kl_nums = [int(o.nav.kl_num) for o in navs]
+    klm_nums = [int(o.nav.klm_num) for o in navs]
+    oks = [bool(o.nav.estimation_ok) for o in navs]
+    assert min(kl_nums) > 800, kl_nums
+    # after the bootstrap frame, matching should be healthy
+    assert all(oks[1:]), (oks, klm_nums)
+    assert min(klm_nums[1:]) > 500, klm_nums
+
+    # trajectory: straight line along +x (monocular scale is free)
+    P = np.stack([np.asarray(o.nav.Pos) for o in navs])
+    assert np.all(np.isfinite(P))
+    net = P[-1] - P[2]
+    assert net[0] > 0, P
+    # direction: dominantly +x. Monocular VO on this scene carries a
+    # small gauge-coupled direction bias (the bootstrap-baked depth warp
+    # trades off against V via the planar ambiguity); the trajectory
+    # stays straight, so the aligned ATE below is the decisive check.
+    assert abs(net[1]) < 0.5 * abs(net[0]), P
+    assert abs(net[2]) < 0.5 * abs(net[0]), P
+
+    # ATE after similarity alignment against ground truth
+    ate = ate_rmse(P[2:], pos_true[3:], with_scale=True)
+    span = np.linalg.norm(pos_true[-1] - pos_true[0])
+    assert ate < 0.15 * span, (ate, span)
+
+    # rotation should stay near identity
+    W = np.asarray(navs[-1].nav.PoseLie)
+    assert np.abs(W).max() < 0.02
+
+
+def test_depth_convergence(translating_seq):
+    """Converged inverse depths must agree with the rendered plane's true
+    depth map up to the (single) monocular gauge scale."""
+    frames, _, depths = translating_seq
+    state, navs = run_sequence(frames, small_params())
+    klm = state.klm
+    valid = np.asarray(klm.valid)
+    sel = valid & (np.asarray(klm.m_num) >= 3)
+    s_rho = np.asarray(klm.s_rho)
+    assert sel.sum() > 300
+    assert np.median(s_rho[sel]) < 2.0      # shrunk well below init (20)
+
+    # confident subset: compare against true inverse depth at keyline px
+    conf = sel & (s_rho < np.percentile(s_rho[sel], 30))
+    assert conf.sum() > 50
+    x = np.asarray(klm.x)[conf].round().astype(int).clip(0, SMALL["width"] - 1)
+    y = np.asarray(klm.y)[conf].round().astype(int).clip(0, SMALL["height"] - 1)
+    rho_true = 1.0 / depths[-1][y, x]
+    ratio = np.asarray(klm.rho)[conf] / rho_true
+    cv = np.std(ratio) / np.mean(ratio)     # single gauge: ratio ~ const
+    assert cv < 0.25, cv
+
+
+def test_static_sequence():
+    """No motion: velocity ~0, pose stays put, nothing blows up."""
+    n = 6
+    frames = render_plane_seq(n, **SMALL)
+    state, navs = run_sequence(frames, small_params())
+    P = np.stack([np.asarray(o.nav.Pos) for o in navs])
+    assert np.all(np.isfinite(P))
+    assert np.linalg.norm(P[-1]) < 0.01
+    W = np.asarray(navs[-1].nav.PoseLie)
+    assert np.abs(W).max() < 2e-3
+
+
+def test_rotation_sequence():
+    """Pure small yaw rotation: recovered as rotation, not translation."""
+    from rebvo_tpu.core.geometry import so3_exp
+    n = 8
+    yaw_step = 0.004
+    rots = np.stack([
+        np.asarray(so3_exp(jnp.asarray([0.0, yaw_step * i, 0.0],
+                                       jnp.float32)), np.float64)
+        for i in range(n)])
+    frames = render_plane_seq(n, cam_rotations=rots, **SMALL)
+    state, navs = run_sequence(frames, small_params())
+    # accumulated yaw ~ (n-1)*yaw_step; camera rotates +y (world-from-cam),
+    # pose integrates the backward rotation
+    lie = np.asarray(navs[-1].nav.PoseLie)
+    assert abs(abs(lie[1]) - (n - 1) * yaw_step) < 0.01, lie
+    # translation small
+    P = np.asarray(navs[-1].nav.Pos)
+    assert np.linalg.norm(P) < 0.05, P
+
+
+def test_step_is_vmappable():
+    """The step must vmap over a batch of sequences (multi-sequence DP)."""
+    import jax
+    n = 3
+    frames_a = render_plane_seq(n, seed=0, **SMALL)
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.arange(n) * 0.01
+    frames_b = render_plane_seq(n, seed=1, cam_positions=pos, **SMALL)
+    batch = np.stack([frames_a, frames_b])    # [B, N, H, W]
+
+    p = small_params()
+    fe = VOFrontend(p)
+    init = fe.init()
+    states = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (2,) + a.shape), init)
+    boot = jax.vmap(fe.bootstrap_fn)
+    stepv = jax.vmap(fe.step_fn)
+    t0 = jnp.zeros((2,))
+    states = boot(states, jnp.asarray(batch[:, 0]), t0)
+    for i in range(1, n):
+        states, outs = stepv(states, jnp.asarray(batch[:, i]),
+                             jnp.full((2,), i / 20.0))
+    assert outs.nav.Pos.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(outs.nav.Pos)))
