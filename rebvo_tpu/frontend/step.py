@@ -161,7 +161,7 @@ class VOFrontend:
         s_rho_q = estimate_quantile(
             old, percentile=p.QCutOffQuantile, nbins=p.QCutOffNumBins)
 
-        field_img = build_field(new_klm, retuned, radius=p.SearchRange,
+        field_img = build_field(new_klm, retuned, radius=min(p.FieldRadius, p.SearchRange),
                                 height=cam.height, width=cam.width)
         fv = FieldView.from_map(field_img, new_klm)
 

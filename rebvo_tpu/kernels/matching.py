@@ -181,21 +181,41 @@ def directed_matching(
         [cand_dn >= dq_min[:, None], cand_up <= dq_max[:, None]], axis=-1)
     cand_ok = (step_ok & dir_ok).reshape(K, -1)
 
-    # Pixel lookup (GetIndexRC rounds and bounds-checks).
+    # Stage 1 — cheap: only the id-mask is gathered for the full ladder
+    # (flat linear indices gather measurably faster than 2-D on TPU).
     qx = jnp.floor(ux[:, None] * cand_t + pi0x[:, None] + 0.5).astype(jnp.int32)
     qy = jnp.floor(uy[:, None] * cand_t + pi0y[:, None] + 0.5).astype(jnp.int32)
     inb = (qx >= 0) & (qx < width) & (qy >= 0) & (qy < height)
-    j = jnp.where(cand_ok & inb,
-                  old_mask[jnp.clip(qy, 0, height - 1),
-                           jnp.clip(qx, 0, width - 1)], -1)       # [K,2S]
-    j_safe = jnp.maximum(j, 0)
+    lin = jnp.clip(qy, 0, height - 1) * width + jnp.clip(qx, 0, width - 1)
+    j = jnp.where(cand_ok & inb, old_mask.reshape(-1)[lin], -1)    # [K,2S]
 
-    # Acceptance tests against the old keyline (edge_tracker.cpp:256-281).
-    o_gx = old.gx[j_safe]
-    o_gy = old.gy[j_safe]
-    o_nm = old.n_m[j_safe]
-    o_rho = old.rho[j_safe]
-    o_srho = old.s_rho[j_safe]
+    # Stage 2 — the expensive per-candidate attribute tests run only on
+    # the first `hit_cap` keyline hits along each ladder (edges are
+    # sparse on the epipolar line, so nearly always every hit survives
+    # into this shortlist; the reference walks serially and stops at the
+    # first *accepted* hit). One top_k extracts the earliest hits.
+    hit_cap = 12
+    nc = j.shape[-1]
+    hit = j >= 0
+    prio = jnp.where(hit, nc - jnp.arange(nc, dtype=jnp.int32)[None, :], 0)
+    top_val, sel_idx = jax.lax.top_k(prio, hit_cap)                # [K,H]
+    sel_valid = top_val > 0
+    rows = jnp.arange(K)
+    j_sel = jnp.where(sel_valid,
+                      jnp.take_along_axis(j, sel_idx, axis=-1), -1)  # [K,H]
+    t_sel = jnp.take_along_axis(cand_t, sel_idx, axis=-1)
+    j_safe = jnp.maximum(j_sel, 0)
+
+    # Packed attribute gather: one [K_old, 8] row gather instead of five
+    # scalar gathers (TPU-friendly contiguous rows).
+    attrs = jnp.stack([old.gx, old.gy, old.n_m, old.rho, old.s_rho,
+                       old.gx * 0, old.gx * 0, old.gx * 0], axis=-1)
+    a_sel = attrs[j_safe]                                          # [K,H,8]
+    o_gx = a_sel[..., 0]
+    o_gy = a_sel[..., 1]
+    o_nm = a_sel[..., 2]
+    o_rho = a_sel[..., 3]
+    o_srho = a_sel[..., 4]
 
     cang = (o_gx * new.gx[:, None] + o_gy * new.gy[:, None]) / (o_nm * new.n_m[:, None])
     grad_ok = (cang >= cang_min) & (jnp.abs(o_nm / new.n_m[:, None] - 1.0) <= min_thr_mod)
@@ -203,12 +223,12 @@ def directed_matching(
     v_rho_dr = (loc_uncertainty * loc_uncertainty
                 + o_srho * o_srho * (norm_t * norm_t)[:, None]
                 + sigma2_t[:, None] * o_rho * o_rho)
-    consistent = jnp.square(cand_t - norm_t[:, None] * o_rho) <= v_rho_dr
+    consistent = jnp.square(t_sel - norm_t[:, None] * o_rho) <= v_rho_dr
 
-    accept = (j >= 0) & grad_ok & consistent & new.valid[:, None]
+    accept = (j_sel >= 0) & grad_ok & consistent & new.valid[:, None]
     any_acc = jnp.any(accept, axis=-1)
     first = jnp.argmax(accept, axis=-1)
-    m_id = jnp.where(any_acc, j[jnp.arange(K), first], -1)
+    m_id = jnp.where(any_acc, j_sel[rows, first], -1)
     ms = jnp.maximum(m_id, 0)
 
     g = lambda a: a[ms]

@@ -27,10 +27,10 @@ Here the cost is a proper robust M-estimate, identical to the
 reference's at its fixed point but history-free:
 
     score(X) = sum_i  0                      (gated)
-             | huber_k(f_i / q_i)            (matched)
-             | k^2                           (miss: Huber saturation)
+             | min((f_i / q_i)^2, k^2)       (matched: capped quadratic)
+             | k^2                           (miss = saturated outlier)
 
-with IRLS weights from the *current* residuals and the noise shaping
+with Huber step weights from the *current* residuals and the noise shaping
 q_i = sqrt((min(s_rho, 1) * qvel_i)^2 + 1) frozen once per frame at the
 prior state (it is a noise model, not part of the state).
 """
@@ -52,21 +52,22 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 class FieldView(NamedTuple):
-    """The data TryVelRot needs about the *new* edge-map (match targets)."""
+    """The data TryVelRot needs about the *new* edge-map (match targets).
+
+    Per-keyline attributes are packed into one [K, 8] row matrix so a
+    match lookup is a single contiguous row gather (TPU-friendly)
+    instead of six scalar gathers.
+    """
 
     ikl: Array     # [H, W] int32 field image (build_field output)
-    x: Array       # [K] new-map keyline data, gathered at match time
-    y: Array
-    ux: Array
-    uy: Array
-    gx: Array
-    gy: Array
-    n_m: Array
+    attrs: Array   # [K, 8]: x, y, ux, uy, gx, gy, n_m, pad
 
     @staticmethod
     def from_map(field_img: Array, klm: KeylineMap) -> "FieldView":
-        return FieldView(ikl=field_img, x=klm.x, y=klm.y, ux=klm.ux,
-                         uy=klm.uy, gx=klm.gx, gy=klm.gy, n_m=klm.n_m)
+        attrs = jnp.stack(
+            [klm.x, klm.y, klm.ux, klm.uy, klm.gx, klm.gy, klm.n_m,
+             jnp.zeros_like(klm.x)], axis=-1)
+        return FieldView(ikl=field_img, attrs=attrs)
 
 
 class TryVelRotResult(NamedTuple):
@@ -128,12 +129,12 @@ def try_vel_rot(
     yr = jnp.floor(piy + 0.5).astype(jnp.int32)
     oob = (xr < 1) | (yr < 1) | (xr >= width - 1) | (yr >= height - 1)
 
-    # Field lookup.
-    xs = jnp.clip(xr, 0, width - 1)
-    ys = jnp.clip(yr, 0, height - 1)
-    j = fv.ikl[ys, xs]
+    # Field lookup (flat indices + one packed attribute row gather).
+    lin = jnp.clip(yr, 0, height - 1) * width + jnp.clip(xr, 0, width - 1)
+    j = fv.ikl.reshape(-1)[lin]
     j_safe = jnp.maximum(j, 0)
     no_kl = j < 0
+    fa = fv.attrs[j_safe]                     # [K, 8]
 
     # Gradient-similarity gate with the z-rotated query gradient
     # (global_tracker.cpp:386-393 + Test_f_k).
@@ -141,8 +142,8 @@ def try_vel_rot(
     s = jnp.sin(W[2])
     gmx = c * old.gx - s * old.gy
     gmy = s * old.gx + c * old.gy
-    f_gx = fv.gx[j_safe]
-    f_gy = fv.gy[j_safe]
+    f_gx = fa[:, 4]
+    f_gy = fa[:, 5]
     p_n2 = old.n_m * old.n_m
     p_esc = gmx * f_gx + gmy * f_gy
     grad_fail = jnp.abs(p_esc - p_n2) > match_thresh * p_n2
@@ -150,10 +151,10 @@ def try_vel_rot(
     miss = no_kl | grad_fail
 
     # Residual along the matched keyline's normal.
-    dx = pix - fv.x[j_safe]
-    dy = piy - fv.y[j_safe]
-    fux = fv.ux[j_safe]
-    fuy = fv.uy[j_safe]
+    dx = pix - fa[:, 0]
+    dy = piy - fa[:, 1]
+    fux = fa[:, 2]
+    fuy = fa[:, 3]
     fi = dx * fux + dy * fuy
 
     matched = (~gated) & (~oob) & (~miss)
@@ -180,6 +181,10 @@ def try_vel_rot(
     k = jnp.asarray(k_huber, dt)
     inlier = matched & (abs_r <= k)
     cost_m = jnp.minimum(r * r, k * k)
+    # Step weights are the capped cost's own IRLS weights (hard trim):
+    # saturated matches have zero cost gradient, so they cast no vote.
+    # (A Huber k/|r| tail was tried and measurably biases the steps —
+    # systematic pull from crossing-line wrong matches.)
     w = jnp.where(inlier, 1.0, 0.0)
 
     cost = jnp.where(gated, 0.0, jnp.where(matched, cost_m, k * k))

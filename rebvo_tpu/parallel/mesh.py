@@ -1,0 +1,45 @@
+"""Device-mesh construction and multi-sequence sharding.
+
+The reference's only parallelism is a 3-thread pipeline + NEON SIMD
+(SURVEY.md §2.9). The TPU-native replacements are:
+
+  * per-keyline batch axis inside each kernel (VPU/MXU vectorisation —
+    the analogue of the NE10 LTCV layout), always on;
+  * a `data` mesh axis sharding *sequences* (the reference has nothing
+    comparable — it processes one stream; here all EuRoC sequences run
+    as one batched, sharded computation);
+  * (round 2+) keyline-block sharding of the bundle-adjustment backend
+    with psum'd Schur reductions over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over `n_devices` (default: all) named ('data',)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a pytree whose leaves lead with the sequence/batch axis so
+    that axis is sharded over the mesh's `data` axis."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.tree_util.tree_map(put, tree)
