@@ -1,0 +1,404 @@
+"""Visual-inertial fusion: IMU preintegration and the two-stage Bayesian
+filter.
+
+Re-implements, as pure jnp functions over explicit state:
+
+  * inter-frame IMU integration (ImuGrabber::GrabAndIntegrate, reference
+    src/UtilLib/imugrabber.cpp:217-250) via a masked lax.scan over a
+    fixed-size sample window;
+  * the 6-dof linear correction from forward matches (ExtRotVel,
+    src/mtracklib/edge_tracker.cpp:1207-1301) as one batched weighted LS;
+  * gyro fusion + bias random walk (BiasCorrect, edge_tracker.cpp:1308);
+  * the 7-state scale/gravity/accel-bias filter (ScaleEstimator,
+    src/mtracklib/scaleestimator.cpp): EstAcelLsq4 5-frame velocity-slope
+    window, MeanAcel4, and estKaGMEKBias's 11-equation Gauss-Newton
+    update — with the C++ statics turned into explicit carry state (the
+    reference's re-entrancy hazard noted in SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rebvo_tpu.core.geometry import skew, so3_exp
+
+Array = jax.Array
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Inter-frame IMU integration
+# ---------------------------------------------------------------------------
+
+
+class ImuWindow(NamedTuple):
+    """Fixed-size window of IMU samples covering one frame interval.
+
+    Samples beyond `count` are padding. `tsample` is the IMU sample
+    period (the reference's ImuGrabber tsamp)."""
+
+    gyro: Array     # [S, 3]
+    accel: Array    # [S, 3]
+    count: Array    # int32 — valid samples
+    tsample: Array  # scalar
+
+
+class IntegratedImu(NamedTuple):
+    """Equivalent of the reference's IntegratedImuData (imugrabber.h:56)."""
+
+    n: Array
+    dt: Array
+    Rot: Array      # [3,3] integrated inter-frame rotation
+    giro: Array     # [3] mean gyro
+    acel: Array     # [3] mean accel
+    dgiro: Array    # [3] finite-difference angular acceleration
+    cacel: Array    # [3] tangential-compensated acceleration
+
+
+def integrate_window(win: ImuWindow, R_cam2imu: Array,
+                     T_cam2imu: Array) -> IntegratedImu:
+    """GrabAndIntegrate semantics: rotate samples into the camera frame,
+    average, integrate rotation on SO(3) sample by sample, estimate
+    angular acceleration, compensate tangential acceleration."""
+    S = win.gyro.shape[0]
+    idx = jnp.arange(S)
+    mask = (idx < win.count)[:, None]
+    Rt = R_cam2imu.T
+    gyro_c = (win.gyro @ Rt.T) * mask
+    accel_c = (win.accel @ Rt.T) * mask
+
+    n = jnp.maximum(win.count, 1)
+    nf = n.astype(win.gyro.dtype)
+    mean_g = jnp.sum(gyro_c, axis=0) / nf
+    mean_a = jnp.sum(accel_c, axis=0) / nf
+
+    def body(R, i):
+        dR = so3_exp(gyro_c[i] * win.tsample)
+        R = jnp.where(i < win.count, R @ dR, R)
+        return R, None
+
+    Rot, _ = jax.lax.scan(body, jnp.eye(3, dtype=win.gyro.dtype),
+                          jnp.arange(S))
+
+    dt = win.count.astype(win.gyro.dtype) * win.tsample
+    # dgiro only with >1 sample (imugrabber.cpp:239-244).
+    last = jnp.clip(win.count - 1, 0, S - 1)
+    dgiro = jnp.where(win.count > 1,
+                      (gyro_c[last] - gyro_c[0]) / jnp.where(dt > 0, dt, 1.0),
+                      jnp.zeros(3, win.gyro.dtype))
+    arm = -(Rt @ T_cam2imu)
+    cacel = mean_a + jnp.cross(dgiro, arm)
+    return IntegratedImu(n=win.count, dt=dt, Rot=Rot, giro=mean_g,
+                         acel=mean_a, dgiro=dgiro, cacel=cacel)
+
+
+# ---------------------------------------------------------------------------
+# ExtRotVel — 6-dof linear correction from forward matches
+# ---------------------------------------------------------------------------
+
+
+def ext_rot_vel(klm, vel: Array, zfm: Array, loc_uncert: float,
+                hub_reweight: float):
+    """Batched weighted LS for the 6-dof increment (ExtRotVel,
+    edge_tracker.cpp:1207-1301). Returns (ok, Wx, Rx, X)."""
+    dt = klm.px.dtype
+    use = klm.valid & (klm.m_id >= 0)
+
+    u_x = klm.ux
+    u_y = klm.uy
+    q_x = klm.px
+    q_y = klm.py
+    q0x = klm.p0x
+    q0y = klm.p0y
+
+    rho_t = 1.0 / (1.0 / klm.rho + vel[2])
+    qt_x = q0x + rho_t * (vel[0] * zfm - vel[2] * q0x)
+    qt_y = q0y + rho_t * (vel[1] * zfm - vel[2] * q0y)
+
+    Phi = jnp.stack([
+        u_x * rho_t * zfm,
+        u_y * rho_t * zfm,
+        u_x * (-rho_t * q_x) + u_y * (-rho_t * q_y),
+        -u_x * q_x * q_y / zfm - u_y * (zfm + q_y * q_y / zfm),
+        +u_y * q_x * q_y / zfm + u_x * (zfm + q_x * q_x / zfm),
+        -u_x * q_y + u_y * q_x,
+    ], axis=-1)                                           # [K, 6]
+    Y = u_x * (q_x - qt_x) + u_y * (q_y - qt_y)
+
+    dqvel = u_x * (vel[0] * zfm - vel[2] * q0x) + \
+        u_y * (vel[1] * zfm - vel[2] * q0y)
+    s_y = jnp.sqrt(klm.s_rho * klm.s_rho * dqvel * dqvel +
+                   loc_uncert * loc_uncert)
+    weight = jnp.where(jnp.abs(Y) > hub_reweight,
+                       jnp.abs(Y) / hub_reweight, 1.0)
+    scale = jnp.where(use, 1.0 / (s_y * weight), 0.0)
+
+    Phi_s = Phi * scale[:, None]
+    Y_s = Y * scale
+    JtJ = jnp.einsum("ki,kj->ij", Phi_s, Phi_s, precision=_HI)
+    JtF = jnp.einsum("ki,k->i", Phi_s, Y_s, precision=_HI)
+
+    Rx = jnp.linalg.pinv(JtJ)
+    X = Rx @ JtF
+    ok = jnp.all(jnp.isfinite(X)) & jnp.all(jnp.isfinite(Rx))
+    return ok, JtJ, Rx, X
+
+
+# ---------------------------------------------------------------------------
+# BiasCorrect — gyro fusion with random-walk bias
+# ---------------------------------------------------------------------------
+
+
+def bias_correct(X: Array, Wx: Array, Gb: Array, Wb: Array, Rg: Array,
+                 Rb: Array):
+    """Information-form fusion of the visual rotation with the gyro
+    measurement + gyro-bias random walk (BiasCorrect,
+    edge_tracker.cpp:1308-1338). Returns (X', Wx', Gb', Wb')."""
+    eye3 = jnp.eye(3, dtype=X.dtype)
+    Wg = jnp.linalg.inv(Rg)
+    Wb = jnp.linalg.inv(jnp.linalg.inv(Wb) + Rb)
+
+    Wxb = Wx.at[3:, 3:].add(Wg @ (eye3 - jnp.linalg.inv(Wg + Wb) @ Wg))
+    iWgWb = jnp.linalg.inv(Wg + Wb)
+
+    X1 = Wx @ X
+    X1 = X1.at[3:].add(Wg @ iWgWb @ Wb @ Gb)
+    Xn = jnp.linalg.solve(Wxb, X1)
+
+    Gb_n = iWgWb @ (Wg @ Xn[3:] + Wb @ Gb)
+    Wb_n = Wg + Wb
+    Wx_n = Wx.at[3:, 3:].add(Wg)
+    return Xn, Wx_n, Gb_n, Wb_n
+
+
+# ---------------------------------------------------------------------------
+# ScaleEstimator — sliding windows + 7-state scale/gravity/bias filter
+# ---------------------------------------------------------------------------
+
+
+class ScaleWindows(NamedTuple):
+    """Explicit state for the reference's C++ statics
+    (scaleestimator.cpp:41-44, 95-97)."""
+
+    v_hist: Array   # [5, 3] rotated velocity window (newest first)
+    dt_hist: Array  # [4]
+    a_hist: Array   # [4, 3] rotated accel window (newest first)
+
+    @staticmethod
+    def init(dtype=jnp.float32) -> "ScaleWindows":
+        return ScaleWindows(v_hist=jnp.zeros((5, 3), dtype),
+                            dt_hist=jnp.zeros((4,), dtype),
+                            a_hist=jnp.zeros((4, 3), dtype))
+
+
+def est_acel_lsq4(win: ScaleWindows, vel: Array, R: Array,
+                  dt: Array) -> Tuple[ScaleWindows, Array]:
+    """5-frame LS slope of the rotated velocity window (EstAcelLsq4,
+    scaleestimator.cpp:37-87). Returns (window', accel estimate)."""
+    Rt = R.T
+    rot_old = win.v_hist[:4] @ Rt.T          # rotate previous 4 entries
+    v_hist = jnp.concatenate([vel[None, :], rot_old], axis=0)
+    dt_hist = jnp.concatenate([win.dt_hist[1:], dt[None]])
+
+    # T[0]=0; T[i+1]=T[i]+Dt[i] (oldest->newest spacing).
+    T = jnp.concatenate([jnp.zeros((1,), dt_hist.dtype),
+                         jnp.cumsum(dt_hist)])
+    mt = jnp.sum(T[1:]) / 5.0                 # reference: mean of T[1..4]
+    den = jnp.sum((T - mt) ** 2)
+    # v_hist newest-first pairs with T newest-first: T[4]..T[0].
+    Tn = T[::-1]
+    vm = jnp.mean(v_hist, axis=0)
+    num = jnp.einsum("ij,i->j", v_hist - vm[None, :], Tn - mt)
+    acel = jnp.where(den > 0, num / den, jnp.zeros(3, vel.dtype))
+    return win._replace(v_hist=v_hist, dt_hist=dt_hist), acel
+
+
+def mean_acel4(win: ScaleWindows, s_acel: Array,
+               R: Array) -> Tuple[ScaleWindows, Array]:
+    """4-frame mean of rotated measured acceleration (MeanAcel4,
+    scaleestimator.cpp:90-104)."""
+    Rt = R.T
+    rot_old = win.a_hist[:3] @ Rt.T
+    a_hist = jnp.concatenate([s_acel[None, :], rot_old], axis=0)
+    return win._replace(a_hist=a_hist), jnp.mean(a_hist, axis=0)
+
+
+def _kagmek_problem(x: Array, a_s: Array, a_v: Array, G: float, x_p: Array,
+                    Rv: Array, Rs: Array, Rg: Array, Pp: Array):
+    """JtJ/JtF of the 11-equation problem (Problem_KaGMEKBias,
+    scaleestimator.cpp:122-190)."""
+    dt = x.dtype
+    a = x[0]
+    g = x[1:4]
+    b = x[4:7]
+    ca = jnp.cos(a)
+    sa = jnp.sin(a)
+
+    F = jnp.zeros((11,), dt)
+    F = F.at[0:3].set((a_s + g) * ca - a_v * sa)
+    F = F.at[3].set(jnp.dot(g, g) - G * G)
+    da = x[0] - x_p[0]
+    da = jnp.where(da > jnp.pi, da - 2 * jnp.pi,
+                   jnp.where(da < -jnp.pi, da + 2 * jnp.pi, da))
+    F = F.at[4].set(da)
+    Rb = so3_exp(b)
+    F = F.at[5:8].set(Rb @ g - x_p[1:4])
+    F = F.at[8:11].set(b - x_p[4:7])
+
+    dFda = jnp.zeros((11,), dt)
+    dFda = dFda.at[0:3].set(-(a_s + g) * sa - a_v * ca)
+    dFda = dFda.at[4].set(1.0)
+
+    Rg_v = Rb @ g
+    # Reference's Gx (transposed cross-product matrix, scaleestimator.cpp:150)
+    Gx = -skew(Rg_v)
+
+    dFdx1 = jnp.zeros((11, 6), dt)
+    dFdx1 = dFdx1.at[0:3, 0:3].set(jnp.eye(3, dtype=dt) * ca)
+    dFdx1 = dFdx1.at[3, 0:3].set(2.0 * g)
+    dFdx1 = dFdx1.at[5:8, 0:3].set(Rb)
+    dFdx1 = dFdx1.at[5:8, 3:6].set(Gx)
+    dFdx1 = dFdx1.at[8:11, 3:6].set(jnp.eye(3, dtype=dt))
+
+    Pz = sa * sa * Rv + ca * ca * Rs
+    P = jnp.zeros((11, 11), dt)
+    P = P.at[0:3, 0:3].set(Pz)
+    P = P.at[3, 3].set(Rg)
+    P = P.at[4:11, 4:11].set(Pp)
+
+    W = jnp.zeros((11, 11), dt)
+    W = W.at[0:3, 0:3].set(jnp.linalg.inv(Pz))
+    W = W.at[3, 3].set(1.0 / Rg)
+    W = W.at[4:11, 4:11].set(jnp.linalg.inv(Pp))
+
+    dPda = jnp.zeros((11, 11), dt)
+    dPda = dPda.at[0:3, 0:3].set(2.0 * sa * ca * (Rv - Rs))
+    dWda = -W @ dPda @ W
+
+    JtJ = jnp.zeros((7, 7), dt)
+    JtJ = JtJ.at[0, 0].set(
+        0.25 * F @ dWda @ P @ dWda @ F + dFda @ dWda @ F + dFda @ W @ dFda)
+    col = 0.5 * dFdx1.T @ dWda @ F + dFdx1.T @ W @ dFda
+    JtJ = JtJ.at[1:, 0].set(col)
+    JtJ = JtJ.at[0, 1:].set(col)
+    JtJ = JtJ.at[1:, 1:].set(dFdx1.T @ W @ dFdx1)
+
+    JtF = jnp.zeros((7,), dt)
+    JtF = JtF.at[0].set(0.5 * F @ dWda @ F + dFda @ W @ F)
+    JtF = JtF.at[1:].set(dFdx1.T @ W @ F)
+    return JtJ, JtF
+
+
+def _solve_scaled(A: Array, b: Array) -> Array:
+    """Jacobi-preconditioned SPD solve: the 7x7 systems here mix priors
+    spanning ~9 orders of magnitude (bias info ~1e13 vs scale ~1e4),
+    which defeats f32 pinv/solve without scaling."""
+    d = jax.lax.rsqrt(jnp.clip(jnp.diag(A), 1e-30, None))
+    As = A * d[:, None] * d[None, :]
+    return jnp.linalg.solve(As, b * d) * d
+
+
+def _inv_scaled(A: Array) -> Array:
+    d = jax.lax.rsqrt(jnp.clip(jnp.diag(A), 1e-30, None))
+    As = A * d[:, None] * d[None, :]
+    return jnp.linalg.inv(As) * d[:, None] * d[None, :]
+
+
+def _kagmek_transform(x: Array) -> Array:
+    """Angle wrap + bias saturation (FunT_KaGMEKBias,
+    scaleestimator.cpp:193)."""
+    sat = 5e-1 / 25.0
+    return jnp.concatenate([
+        jnp.arctan2(jnp.sin(x[0]), jnp.cos(x[0]))[None],
+        x[1:4],
+        jnp.clip(x[4:7], -sat, sat),
+    ])
+
+
+def est_ka_gmek_bias(
+    s_acel: Array, f_acel: Array, kP: Array, Rot: Array,
+    X: Array, P: Array,
+    Qg: Array, Qrot: Array, Qbias: Array, QKp: Array,
+    Rg: Array, Rs: Array, Rv: Array,
+    Wvw: Array, Xvw: Array, g_gravit: float,
+    gn_iters: int = 20,
+):
+    """7-state {atan(scale), g, bias_v} filter (estKaGMEKBias,
+    scaleestimator.cpp:200-318).
+
+    Returns (K, X', P', g_est, b_est, Xvw').
+    """
+    dt = X.dtype
+    # Linear predict.
+    F = jnp.zeros((7, 7), dt)
+    F = F.at[0, 0].set(kP)
+    F = F.at[1:4, 1:4].set(Rot.T)
+    F = F.at[4:7, 4:7].set(jnp.eye(3, dtype=dt))
+
+    Gtmp = X[1:4]
+    GProd = -skew(Gtmp)   # reference's transposed cross matrix
+
+    Q = jnp.zeros((7, 7), dt)
+    Q = Q.at[0, 0].set(QKp / (1.0 + jnp.tan(X[0]) ** 2))
+    Q = Q.at[1:4, 1:4].set(GProd.T @ Qrot @ GProd + Qg)
+    Q = Q.at[4:7, 4:7].set(Qbias)
+
+    Xp = F @ X
+    Pp = F @ P @ F.T + Q
+
+    # Nonlinear Gauss-Newton update.
+    def gn_body(_, x):
+        JtJ, JtF = _kagmek_problem(x, s_acel, f_acel, g_gravit, Xp,
+                                   Rv, Rs, Rg, Pp)
+        h = _solve_scaled(JtJ, -JtF)
+        return _kagmek_transform(x + h)
+
+    Xn = jax.lax.fori_loop(0, gn_iters, gn_body, Xp)
+
+    JtJ, _ = _kagmek_problem(Xn, s_acel, f_acel, g_gravit, Xp, Rv, Rs, Rg, Pp)
+    Pn = _inv_scaled(JtJ)
+
+    k = jnp.tan(Xn[0])
+    k = jnp.where((k < 0) | ~jnp.isfinite(k), 0.0, k)
+    g_est = Xn[1:4]
+    b_est = Xn[4:7]
+
+    # Correct the visual 6-dof state with the bias estimate
+    # (scaleestimator.cpp:286-305).
+    WVBias = JtJ[4:7, 4:7]
+    Wb = jnp.zeros((6, 6), dt)
+    Wb = Wb.at[3:, 3:].set(WVBias)
+    wc = Xvw[3:] - b_est
+    WXc = jnp.zeros((6,), dt)
+    WXc = WXc.at[3:].set(WVBias @ wc)
+    Xc = jnp.linalg.solve(Wb + Wvw, Wvw @ Xvw + WXc)
+    Xc = jnp.where(jnp.all(jnp.isfinite(Xc)), Xc, Xvw)
+
+    return k, Xn, Pn, g_est, b_est, Xc
+
+
+def rotation_between(a: Array, b: Array) -> Array:
+    """Rotation matrix taking direction a to direction b (the TooN
+    SO3(a, b) constructor used for gravity alignment,
+    rebvo_second_t.cpp:538-541)."""
+    an = a / jnp.linalg.norm(a)
+    bn = b / jnp.linalg.norm(b)
+    v = jnp.cross(an, bn)
+    c = jnp.dot(an, bn)
+    s2 = jnp.dot(v, v)
+    Vx = skew(v)
+    # Rodrigues for the rotation aligning an to bn; guarded antiparallel.
+    coef = jnp.where(s2 > 1e-12, (1.0 - c) / jnp.where(s2 > 1e-12, s2, 1.0),
+                     0.0)
+    R = jnp.eye(3, dtype=a.dtype) + Vx + coef * (Vx @ Vx)
+    # Antiparallel: rotate pi about any axis orthogonal to a.
+    ortho = jnp.where(jnp.abs(an[0]) < 0.9,
+                      jnp.asarray([1.0, 0.0, 0.0], a.dtype),
+                      jnp.asarray([0.0, 1.0, 0.0], a.dtype))
+    axis = jnp.cross(an, ortho)
+    axis = axis / jnp.linalg.norm(axis)
+    R_pi = so3_exp(axis * jnp.pi)
+    return jnp.where(c < -1.0 + 1e-9, R_pi, R)

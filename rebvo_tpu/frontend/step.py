@@ -1,26 +1,27 @@
 """The per-frame VO step: one jitted, vmap-able function.
 
 Re-implements the reference's SecondThread processing order (reference
-src/rebvo/rebvo_second_t.cpp:128-623, vision-only path) plus FirstThr's
-detection stage (rebvo_first_t.cpp:259-272) as a single pure function
+src/rebvo/rebvo_second_t.cpp:128-623 — both the vision-only and the
+visual-inertial path) plus FirstThr's detection stage
+(rebvo_first_t.cpp:259-272) as pure functions
 
-    step(state, frame, t) -> (state', FrameOutput)
+    step(state, frame, t)               -> (state', FrameOutput)
+    step_imu(state, frame, t, imu_win)  -> (state', FrameOutput)
 
 over fixed-shape arrays. The reference's 3-thread pipeline exists to
 hide I/O latency on a 3-core ARM; on TPU the whole computation fuses
 into one XLA program and pipelining happens through async dispatch of
-consecutive steps, while the host feeds frames ahead (io.pipeline).
+consecutive steps, while the host feeds frames ahead.
 
 Everything the reference hides in C++ statics or thread-locals is
-explicit state here, so the function vmaps over a batch of sequences
-(multi-sequence data parallelism, SURVEY.md §2.9) and shards over a
+explicit state here, so the functions vmap over a batch of sequences
+(multi-sequence data parallelism, SURVEY.md §2.9) and shard over a
 device mesh.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,11 @@ import jax.numpy as jnp
 from rebvo_tpu.config import REBVOParameters
 from rebvo_tpu.core.geometry import (CameraModel, rotate_gradients,
                                      rotate_hom_points, so3_exp, so3_log)
+from rebvo_tpu.frontend.imu import (ImuWindow, IntegratedImu, ScaleWindows,
+                                    bias_correct, est_acel_lsq4,
+                                    est_ka_gmek_bias, ext_rot_vel,
+                                    integrate_window, mean_acel4,
+                                    rotation_between)
 from rebvo_tpu.frontend.state import (BIG, RHO_INIT, RHO_MAX, KeylineMap,
                                       NavData)
 from rebvo_tpu.kernels.depth_filter import (depth_ekf, estimate_quantile,
@@ -38,7 +44,8 @@ from rebvo_tpu.kernels.edge_detect import (detect_keylines,
                                            update_detector_threshold)
 from rebvo_tpu.kernels.field import build_field
 from rebvo_tpu.kernels.matching import directed_matching, forward_match
-from rebvo_tpu.kernels.pose_solver import FieldView, minimizer_rv
+from rebvo_tpu.kernels.pose_solver import (FieldView, minimizer_rv,
+                                           minimizer_v)
 from rebvo_tpu.kernels.scale_space import build_scale_space
 
 Array = jax.Array
@@ -48,12 +55,61 @@ Array = jax.Array
 MAX_IMG_VALUE = 765.0
 
 
+class ImuCarry(NamedTuple):
+    """Visual-inertial filter state (the reference's IMUState,
+    rebvo.h:239-290, plus the ScaleEstimator statics)."""
+
+    init: Array         # bool — gyro-bias init complete
+    n_init: Array       # int32 — frames accumulated for bias init
+    giro_init: Array    # [3] accumulated gyro*dt
+    g_init: Array       # [3] accumulated -cacel
+    Bg: Array           # [3] gyro bias
+    W_Bg: Array         # [3,3] bias information
+    Vg: Array           # [3] translation-only warm start
+    X7: Array           # [7] scale/gravity/bias filter state
+    P7: Array           # [7,7]
+    u_est: Array        # [3] heading seed for gravity-aligned pose
+    g_est: Array        # [3]
+    b_est: Array        # [3]
+    windows: ScaleWindows
+    Posgv: Array        # [3] unfiltered-integration diagnostic
+
+    @staticmethod
+    def make(params: REBVOParameters, dtype=jnp.float32) -> "ImuCarry":
+        p = params
+        P7 = jnp.diag(jnp.asarray([
+            p.ScaleStdDevInit ** 2, 100.0, 100.0, 100.0,
+            p.VBiasStdDev ** 2 * 10, p.VBiasStdDev ** 2 * 10,
+            p.VBiasStdDev ** 2 * 10], dtype))
+        X7 = jnp.asarray([jnp.pi / 4, 0.0, p.g_module, 0.0, 0.0, 0.0, 0.0],
+                         dtype)
+        dtf = 1.0 / p.config_fps
+        W_Bg = jnp.eye(3, dtype=dtype) / (
+            p.GiroBiasStdDev ** 2 * dtf * dtf * 100.0)
+        return ImuCarry(
+            init=jnp.asarray(False),
+            n_init=jnp.zeros((), jnp.int32),
+            giro_init=jnp.zeros((3,), dtype),
+            g_init=jnp.zeros((3,), dtype),
+            Bg=jnp.zeros((3,), dtype),
+            W_Bg=W_Bg,
+            Vg=jnp.zeros((3,), dtype),
+            X7=X7, P7=P7,
+            u_est=jnp.asarray([1.0, 0.0, 0.0], dtype),
+            g_est=jnp.zeros((3,), dtype),
+            b_est=jnp.zeros((3,), dtype),
+            windows=ScaleWindows.init(dtype),
+            Posgv=jnp.zeros((3,), dtype),
+        )
+
+
 class VOState(NamedTuple):
     """Carry state between frames (one sequence)."""
 
     klm: KeylineMap        # previous frame's edge map (post-processing)
     mask_img: Array        # [H, W] previous map's detection id mask
     thresh: Array          # detector auto-threshold
+    retuned: Array         # previous frame's re-tuned (top-K) threshold
     last_kl_num: Array     # keylines detected last frame
     Vel: Array             # [3] warm-start translation
     W0: Array              # [3] warm-start rotation
@@ -64,6 +120,7 @@ class VOState(NamedTuple):
     Pos: Array             # [3] global position
     t: Array               # previous frame timestamp
     frame_count: Array     # int32 frames processed
+    imu: ImuCarry
 
 
 class FrameOutput(NamedTuple):
@@ -80,6 +137,7 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
         klm=KeylineMap.empty(K, dtype=dtype),
         mask_img=jnp.full((H, W), -1, jnp.int32),
         thresh=jnp.asarray(params.DetectorThresh, dtype),
+        retuned=jnp.zeros((), dtype),
         last_kl_num=jnp.zeros((), jnp.int32),
         Vel=jnp.zeros((3,), dtype),
         W0=jnp.zeros((3,), dtype),
@@ -90,6 +148,7 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
         Pos=jnp.zeros((3,), dtype),
         t=jnp.zeros((), dtype),
         frame_count=jnp.zeros((), jnp.int32),
+        imu=ImuCarry.make(params, dtype),
     )
 
 
@@ -99,17 +158,19 @@ class VOFrontend:
     Usage:
         fe = VOFrontend(params)
         state = fe.init()
-        state = fe.bootstrap(state, frame0, t0)      # detection only
-        state, out = fe.step(state, frame, t)        # per frame
+        state = fe.bootstrap(state, frame0, t0)          # detection only
+        state, out = fe.step(state, frame, t)            # vision-only
+        state, out = fe.step_imu(state, frame, t, imu)   # visual-inertial
 
-    `fe.step` is jitted; `fe.step_fn` is the unjitted pure function for
-    vmap/pjit composition.
+    The `*_fn` attributes are the unjitted pure functions for vmap/pjit
+    composition.
     """
 
     def __init__(self, params: REBVOParameters, cam: CameraModel = None):
         self.params = params
         self.cam = cam if cam is not None else CameraModel.from_params(params)
         self.step = jax.jit(self.step_fn)
+        self.step_imu = jax.jit(self.step_imu_fn)
         self.bootstrap = jax.jit(self.bootstrap_fn)
 
     def init(self) -> VOState:
@@ -134,12 +195,71 @@ class VOFrontend:
     def bootstrap_fn(self, state: VOState, frame: Array, t: Array) -> VOState:
         """Process the first frame: detection only (the reference's dummy
         first-frame consume, rebvo_second_t.cpp:108-122)."""
-        klm, mask_img, kl_num, thresh, _ = self._detect(state, frame)
+        klm, mask_img, kl_num, thresh, retuned = self._detect(state, frame)
         return state._replace(
-            klm=klm, mask_img=mask_img, thresh=thresh, last_kl_num=kl_num,
-            t=jnp.asarray(t, state.t.dtype),
+            klm=klm, mask_img=mask_img, thresh=thresh, retuned=retuned,
+            last_kl_num=kl_num, t=jnp.asarray(t, state.t.dtype),
             frame_count=state.frame_count + 1)
 
+    # ------------------------------------------------------------------
+
+    def _front(self, state: VOState, frame: Array):
+        """Detection + quantile + match field (shared by both modes)."""
+        p = self.params
+        cam = self.cam
+        new_klm, new_mask, kl_num, thresh, retuned = self._detect(state, frame)
+        s_rho_q = estimate_quantile(
+            state.klm, percentile=p.QCutOffQuantile, nbins=p.QCutOffNumBins)
+        field_img = build_field(
+            new_klm, retuned, radius=min(p.FieldRadius, p.SearchRange),
+            height=cam.height, width=cam.width)
+        fv = FieldView.from_map(field_img, new_klm)
+        return new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv
+
+    def _tail(self, state: VOState, detection, V, W, P_V, R, R0_extra,
+              nan_fail, t, dt_frame, extra_ok=None):
+        """Forward-rotate the old map, directed matching, depth filtering,
+        state assembly (shared by both modes). `R0_extra` is the forward
+        rotation applied to the old map *after* matching-side rotations
+        already applied by the caller were merged into state.klm."""
+        p = self.params
+        cam = self.cam
+        dt_f = V.dtype
+        new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv = detection
+
+        dres = directed_matching(
+            new_klm, state.klm, state.mask_img, V, P_V, R,
+            zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
+            width=cam.width, height=cam.height,
+            max_steps=p.MatchMaxSteps,
+            min_thr_mod=p.MatchThreshModule,
+            min_thr_ang=p.MatchThreshAngle,
+            max_radius=float(p.SearchRange),
+            loc_uncertainty=p.LocationUncertaintyMatch)
+        klm_num = dres.nmatch
+
+        match_fail = klm_num < p.GlobalMatchThreshold
+        est_ok = (~nan_fail) & (~match_fail)
+        if extra_ok is not None:
+            est_ok = est_ok & extra_ok
+
+        proc, _ = regularize_1_iter(dres.new, p.RegularizeThresh)
+        proc = depth_ekf(proc, V, cam.zfm,
+                         reshape_q_abs=p.ReshapeQAbsolute,
+                         loc_uncertainty=p.LocationUncertainty)
+        proc, Kp_new, P_Kp_new = estimate_rescaling_opt(
+            proc, apply=bool(p.DoReScaling))
+
+        new_final = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(est_ok, a, b), proc, dres.new)
+        Kp = jnp.where(est_ok, Kp_new, 1.0)
+        P_Kp = jnp.where(nan_fail, BIG, jnp.where(match_fail, 10.0, P_Kp_new))
+        V_out = jnp.where(est_ok, V, 0.0)
+        return (new_final, new_mask, thresh, retuned, kl_num, klm_num,
+                est_ok, Kp, P_Kp, V_out, s_rho_q)
+
+    # ------------------------------------------------------------------
+    # Vision-only path (rebvo_second_t.cpp:338-382 + common tail)
     # ------------------------------------------------------------------
 
     def step_fn(self, state: VOState, frame: Array,
@@ -148,22 +268,12 @@ class VOFrontend:
         cam = self.cam
         dt_f = state.Vel.dtype
         t = jnp.asarray(t, dt_f)
-
         dt_frame = t - state.t
         dt_frame = jnp.where(dt_frame < 0.001, 1.0 / p.config_fps, dt_frame)
 
-        # --- Stage 1 (FirstThr): detection on the new frame.
-        new_klm, new_mask, kl_num, thresh, retuned = self._detect(state, frame)
-
-        # --- Stage 2 (SecondThread), vision-only path.
+        detection = self._front(state, frame)
+        new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv = detection
         old = state.klm
-
-        s_rho_q = estimate_quantile(
-            old, percentile=p.QCutOffQuantile, nbins=p.QCutOffNumBins)
-
-        field_img = build_field(new_klm, retuned, radius=min(p.FieldRadius, p.SearchRange),
-                                height=cam.height, width=cam.width)
-        fv = FieldView.from_map(field_img, new_klm)
 
         match_num_min = jnp.minimum(
             jnp.asarray(p.MatchNumThresh, jnp.int32),
@@ -179,80 +289,222 @@ class VOFrontend:
             iter_max=p.TrackerIterNum, init_iter=p.TrackerInitIterNum,
             init_type=p.TrackerInitType)
 
-        nan_fail = jnp.any(~jnp.isfinite(mres.Vel)) | jnp.any(~jnp.isfinite(mres.W0))
+        nan_fail = jnp.any(~jnp.isfinite(mres.Vel)) | \
+            jnp.any(~jnp.isfinite(mres.W0))
         V = jnp.where(nan_fail, 0.0, mres.Vel)
         W = jnp.where(nan_fail, 0.0, mres.W0)
         P_V = jnp.where(nan_fail, jnp.eye(3, dtype=dt_f) * BIG, mres.RVel)
-        P_W = jnp.where(nan_fail, jnp.eye(3, dtype=dt_f) * BIG, mres.RW0)
 
-        # Forward depth transfer along the minimiser's matches.
         new_fm, _ = forward_match(old, new_klm, mres.m_id_f)
 
-        # Rotations: R0 forward, R backward (rebvo_second_t.cpp:360-363).
         R0 = so3_exp(W)
         R = R0.T
+        old_rot = self._rotate_map(old, R0)
+        state2 = state._replace(klm=old_rot)
+        detection2 = (new_fm,) + detection[1:]
 
-        # Forward-rotate the old map (positions, depth, gradients).
-        px, py, rho, s_rho = rotate_hom_points(
-            R0, old.px, old.py, old.rho, old.s_rho, cam.zfm)
-        gx, gy = rotate_gradients(R0, old.gx, old.gy)
-        old_rot = old._replace(px=px, py=py, rho=rho, s_rho=s_rho,
-                               gx=gx, gy=gy)
+        (new_final, new_mask, thresh, retuned_o, kl_num, klm_num, est_ok,
+         Kp, P_Kp, V_out, s_rho_q) = self._tail(
+            state2, detection2, V, W, P_V, R, None, nan_fail, t, dt_frame)
 
-        # Directed epipolar re-matching on the old map's mask.
-        dres = directed_matching(
-            new_fm, old_rot, state.mask_img, V, P_V, R,
-            zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
-            width=cam.width, height=cam.height,
-            max_steps=p.MatchMaxSteps,
-            min_thr_mod=p.MatchThreshModule,
-            min_thr_ang=p.MatchThreshAngle,
-            max_radius=float(p.SearchRange),
-            loc_uncertainty=p.LocationUncertaintyMatch)
-        klm_num = dres.nmatch
-
-        match_fail = klm_num < p.GlobalMatchThreshold
-        est_ok = (~nan_fail) & (~match_fail)
-
-        # --- Depth processing (skipped on failure, like the reference's
-        # restart branch — computed unconditionally, selected at the end).
-        proc, _ = regularize_1_iter(dres.new, p.RegularizeThresh)
-        proc = depth_ekf(proc, V, cam.zfm,
-                         reshape_q_abs=p.ReshapeQAbsolute,
-                         loc_uncertainty=p.LocationUncertainty)
-        proc, Kp_new, P_Kp_new = estimate_rescaling_opt(
-            proc, apply=bool(p.DoReScaling))
-
-        ok_f = est_ok
-        new_final = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok_f, a, b), proc, dres.new)
-        Kp = jnp.where(est_ok, Kp_new, 1.0)
-        P_Kp = jnp.where(nan_fail, BIG, jnp.where(match_fail, 10.0, P_Kp_new))
-
-        # Restart resets the warm start (rebvo_second_t.cpp:389-421).
-        V_out = jnp.where(est_ok, V, 0.0)
-
-        # --- Pose integration (rebvo_second_t.cpp:550-552).
         K_scale = state.K_scale
         Pose = state.Pose @ R
         Pos = state.Pos - Pose @ (V_out * K_scale)
 
         nav = NavData(
-            t=t, dt=dt_frame,
-            Rot=R, RotLie=so3_log(R),
+            t=t, dt=dt_frame, Rot=R, RotLie=so3_log(R),
             Vel=-V_out * K_scale / dt_frame,
             Pose=Pose, PoseLie=so3_log(Pose), Pos=Pos,
-            g=jnp.zeros((3,), dt_f),
-            scale=K_scale,
-            estimation_ok=est_ok,
-            kl_num=kl_num, klm_num=klm_num)
+            g=jnp.zeros((3,), dt_f), scale=K_scale,
+            estimation_ok=est_ok, kl_num=kl_num, klm_num=klm_num)
 
         new_state = VOState(
             klm=new_final, mask_img=new_mask, thresh=thresh,
-            last_kl_num=kl_num, Vel=V_out, W0=W, Kp=Kp, P_Kp=P_Kp,
-            K_scale=K_scale, Pose=Pose, Pos=Pos, t=t,
-            frame_count=state.frame_count + 1)
-
+            retuned=detection[4], last_kl_num=kl_num, Vel=V_out, W0=W,
+            Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose, Pos=Pos, t=t,
+            frame_count=state.frame_count + 1, imu=state.imu)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=mres.score,
                           rel_error=mres.rel_error)
         return new_state, out
+
+    # ------------------------------------------------------------------
+    # Visual-inertial path (rebvo_second_t.cpp:182-335, 528-546)
+    # ------------------------------------------------------------------
+
+    def step_imu_fn(self, state: VOState, frame: Array, t: Array,
+                    win: ImuWindow,
+                    R_cam2imu: Array = None, T_cam2imu: Array = None,
+                    ) -> Tuple[VOState, FrameOutput]:
+        p = self.params
+        cam = self.cam
+        dt_f = state.Vel.dtype
+        t = jnp.asarray(t, dt_f)
+        dt_frame = t - state.t
+        dt_frame = jnp.where(dt_frame < 0.001, 1.0 / p.config_fps, dt_frame)
+        eye3 = jnp.eye(3, dtype=dt_f)
+        if R_cam2imu is None:
+            R_cam2imu = eye3
+        if T_cam2imu is None:
+            T_cam2imu = jnp.zeros((3,), dt_f)
+
+        imu = integrate_window(win, R_cam2imu, T_cam2imu)
+        ic = state.imu
+
+        # --- Gyro-bias initialisation (rebvo_second_t.cpp:163-185).
+        accumulating = (~ic.init) & (state.frame_count > 0)
+        giro_init = jnp.where(accumulating, ic.giro_init + imu.giro * imu.dt,
+                              ic.giro_init)
+        g_init = jnp.where(accumulating, ic.g_init - imu.cacel, ic.g_init)
+        n_init = jnp.where(accumulating, ic.n_init + 1, ic.n_init)
+        done = accumulating & (n_init > p.InitBiasFrameNum)
+        nf = jnp.maximum(n_init, 1).astype(dt_f)
+        Bg = jnp.where(done, giro_init / nf, ic.Bg)
+        W_Bg = jnp.where(
+            done,
+            jnp.linalg.inv(eye3 * (p.GiroBiasStdDev ** 2 *
+                                   dt_frame * dt_frame * 1e2)),
+            ic.W_Bg)
+        X7 = jnp.where(done, ic.X7.at[1:4].set(g_init / nf), ic.X7)
+        init = ic.init | done
+        if p.InitBias == 0:
+            init = jnp.asarray(True)
+            Bg = jnp.asarray([p.BiasHintX, p.BiasHintY, p.BiasHintZ],
+                             dt_f) * imu.dt
+
+        # --- IMU pre-rotation (rebvo_second_t.cpp:206-211):
+        # R^T = SO3(Bg) @ Rot^T  ->  R = Rot @ SO3(Bg)^T.
+        R = imu.Rot @ so3_exp(Bg).T
+        old_pre = self._rotate_map(state.klm, R.T)
+
+        detection = self._front(state._replace(klm=old_pre), frame)
+        new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv = detection
+
+        match_num_min = jnp.minimum(
+            jnp.asarray(p.MatchNumThresh, jnp.int32),
+            state.frame_count.astype(jnp.int32))
+
+        Vg0 = jnp.zeros((3,), dt_f) if p.TrackerInitType == 0 else ic.Vg
+        vres = minimizer_v(
+            Vg0, old_pre, fv,
+            zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
+            width=cam.width, height=cam.height,
+            max_r=jnp.asarray(float(p.SearchRange), dt_f),
+            match_thresh=p.TrackerMatchThresh, max_s_rho=s_rho_q,
+            match_num_min=match_num_min, k_huber=p.ReweigthDistance,
+            min_mod=state.retuned, iter_max=p.TrackerIterNum)
+        Vg = vres.Vel
+        P_Vg = vres.RVel
+
+        new_fm, _ = forward_match(old_pre, new_klm, vres.m_id_f)
+
+        # --- 6-dof linear correction + gyro fusion.
+        ok_x, W_Xv, R_Xv, Xv = ext_rot_vel(
+            new_fm, Vg, cam.zfm, p.LocationUncertainty, p.ReweigthDistance)
+        RGBias = eye3 * (p.GiroBiasStdDev ** 2 * dt_frame * dt_frame)
+        RGiro = eye3 * (p.GiroMeasStdDev ** 2 * dt_frame * dt_frame)
+        Xgv, W_Xgv, dgbias, W_Bg2 = bias_correct(
+            Xv, W_Xv, jnp.zeros((3,), dt_f), W_Bg, RGiro, RGBias)
+        Bg = Bg + dgbias
+        W_Bg = W_Bg2
+
+        dVgv = Xgv[:3]
+        dWgv = Xgv[3:]
+        Rgva_pre = R
+        R0 = so3_exp(dWgv)
+        R = R @ R0.T                      # R^T = R0 @ R^T
+        Vgv = R0 @ Vg + dVgv
+        V = Vgv
+        R_Xgv = jnp.linalg.inv(W_Xgv)
+        P_V = R_Xgv[:3, :3]
+        P_W = R_Xgv[3:, 3:]
+
+        # --- Scale/gravity filter (rebvo_second_t.cpp:282-312).
+        win1, Av = est_acel_lsq4(ic.windows, -Vgv / dt_frame, R, dt_frame)
+        win2, As = mean_acel4(win1, imu.cacel, R)
+
+        Rv = P_V / (dt_frame ** 4)
+        Qrot = P_W
+        QKp = state.P_Kp
+        Qg = eye3 * (p.g_uncert ** 2)
+        Rg_mod = jnp.asarray(p.g_module_uncer ** 2, dt_f)
+        Rs = eye3 * (p.AcelMeasStdDev ** 2)
+        Qbias = eye3 * (p.VBiasStdDev ** 2)
+
+        filter_on = state.frame_count > (4 + p.InitBiasFrameNum)
+        Kf, X7n, P7n, g_est, b_est, Xgva = est_ka_gmek_bias(
+            As, Av, jnp.asarray(1.0, dt_f), R, X7, ic.P7,
+            Qg, Qrot, Qbias, QKp, Rg_mod, Rs, Rv,
+            W_Xgv, Xgv, p.g_module)
+        K_scale = jnp.where(filter_on, Kf, state.K_scale)
+        X7 = jnp.where(filter_on, X7n, X7)
+        P7 = jnp.where(filter_on, P7n, ic.P7)
+        g_est = jnp.where(filter_on, g_est, ic.g_est)
+        b_est = jnp.where(filter_on, b_est, ic.b_est)
+
+        dVgva = jnp.where(filter_on, Xgva[:3], dVgv)
+        dWgva = jnp.where(filter_on, Xgva[3:], dWgv)
+        R0gva = so3_exp(dWgva)
+        Rgva = jnp.where(filter_on, Rgva_pre @ R0gva.T, R)
+        Vgva = jnp.where(filter_on, R0gva @ Vg + dVgva, Vgv)
+
+        # --- Second forward rotation of the old map.
+        old_rot = self._rotate_map(old_pre, R0)
+        state2 = state._replace(klm=old_rot)
+        detection2 = (new_fm,) + detection[1:]
+
+        nan_fail = jnp.any(~jnp.isfinite(V)) | (~ok_x)
+        V = jnp.where(nan_fail, 0.0, V)
+        P_V = jnp.where(nan_fail, eye3 * BIG, P_V)
+
+        (new_final, new_mask, thresh, _ro, kl_num, klm_num, est_ok,
+         Kp, P_Kp, V_out, s_rho_q) = self._tail(
+            state2, detection2, V, dWgv, P_V, R, None, nan_fail, t, dt_frame)
+
+        # --- Gravity-aligned pose integration (rebvo_second_t.cpp:528-546).
+        u_est = Rgva.T @ ic.u_est
+        u_est = u_est - (jnp.dot(u_est, g_est) /
+                         jnp.maximum(jnp.dot(g_est, g_est), 1e-12)) * g_est
+        u_norm = jnp.linalg.norm(u_est)
+        u_est = u_est / jnp.where(u_norm > 1e-12, u_norm, 1.0)
+        y_axis = jnp.asarray([0.0, 1.0, 0.0], dt_f)
+        x_axis = jnp.asarray([1.0, 0.0, 0.0], dt_f)
+        PoseP1 = rotation_between(g_est, y_axis)
+        PoseP2 = rotation_between(PoseP1 @ u_est, x_axis)
+        Pose_f = PoseP2 @ PoseP1
+        Pos_f = state.Pos - Pose_f @ (Vgva * K_scale)
+        Posgv = ic.Posgv - Pose_f @ (Vgv * K_scale)
+
+        Pose = jnp.where(filter_on, Pose_f, state.Pose)
+        Pos = jnp.where(filter_on, Pos_f, state.Pos)
+        u_est = jnp.where(filter_on, u_est, ic.u_est)
+
+        nav = NavData(
+            t=t, dt=dt_frame, Rot=R, RotLie=so3_log(R),
+            Vel=-V_out * K_scale / dt_frame,
+            Pose=Pose, PoseLie=so3_log(Pose), Pos=Pos,
+            g=g_est, scale=K_scale,
+            estimation_ok=est_ok, kl_num=kl_num, klm_num=klm_num)
+
+        imu_carry = ImuCarry(
+            init=init, n_init=n_init, giro_init=giro_init, g_init=g_init,
+            Bg=Bg, W_Bg=W_Bg, Vg=Vg, X7=X7, P7=P7, u_est=u_est,
+            g_est=g_est, b_est=b_est, windows=win2, Posgv=Posgv)
+
+        new_state = VOState(
+            klm=new_final, mask_img=new_mask, thresh=thresh,
+            retuned=retuned, last_kl_num=kl_num, Vel=V_out, W0=dWgv,
+            Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose, Pos=Pos, t=t,
+            frame_count=state.frame_count + 1, imu=imu_carry)
+        out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=vres.score,
+                          rel_error=jnp.zeros((), dt_f))
+        return new_state, out
+
+    # ------------------------------------------------------------------
+
+    def _rotate_map(self, klm: KeylineMap, R0: Array) -> KeylineMap:
+        """Forward-rotate an edge map (edge_tracker::rotate_keylines)."""
+        px, py, rho, s_rho = rotate_hom_points(
+            R0, klm.px, klm.py, klm.rho, klm.s_rho, self.cam.zfm)
+        gx, gy = rotate_gradients(R0, klm.gx, klm.gy)
+        return klm._replace(px=px, py=py, rho=rho, s_rho=s_rho,
+                            gx=gx, gy=gy)

@@ -95,6 +95,8 @@ def try_vel_rot(
     max_s_rho: Array,              # uncertainty cut-off (quantile)
     match_num_min: Array,          # min(MatchNumThresh, FrameCount)
     k_huber: float,
+    min_mod: Array = None,         # gradient-modulus gate (TryVel's
+                                   # min_mod, global_tracker.cpp:851)
 ) -> TryVelRotResult:
     """One robust residual/Jacobian evaluation (the reference's TryVelRot,
     global_tracker.cpp:285-543, with the self-consistent cost described in
@@ -123,6 +125,8 @@ def try_vel_rot(
 
     # Keyline usability gate (global_tracker.cpp:330-339).
     gated = (old.s_rho > max_s_rho) | (old.m_num < match_num_min) | (~old.valid)
+    if min_mod is not None:
+        gated = gated | (old.n_m < min_mod)
 
     # Integer pixel (round2int_positive) + border test.
     xr = jnp.floor(pix + 0.5).astype(jnp.int32)
@@ -323,3 +327,67 @@ def minimizer_rv(
         Vel=X[:3], W0=X[3:], RVel=RRV[:3, :3], RW0=RRV[3:, 3:], W_X=JtJ,
         m_id_f=m_id_f, score=F, rel_error=rel_error,
         rel_error_score=rel_error_score)
+
+
+class MinimizerVResult(NamedTuple):
+    Vel: Array
+    RVel: Array       # 3x3 covariance
+    m_id_f: Array
+    score: Array
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "match_thresh", "k_huber", "iter_max"))
+def minimizer_v(
+    Vel: Array,
+    old: KeylineMap, fv: FieldView,
+    *,
+    zfm: Array, cx: Array, cy: Array, width: int, height: int,
+    max_r: Array, match_thresh: float, max_s_rho: Array,
+    match_num_min: Array, k_huber: float, min_mod: Array,
+    iter_max: int,
+) -> MinimizerVResult:
+    """Translation-only LM (the reference's Minimizer_V / TryVel,
+    global_tracker.cpp:829-1093) used on the IMU path after gyro
+    pre-rotation; shares the robust evaluation with minimizer_rv,
+    restricted to the V block."""
+    dt = old.x.dtype
+    tau = jnp.asarray(1e-3, dt)
+
+    kw = dict(zfm=zfm, cx=cx, cy=cy, width=width, height=height,
+              max_r=max_r, match_thresh=match_thresh, max_s_rho=max_s_rho,
+              match_num_min=match_num_min, k_huber=k_huber, min_mod=min_mod)
+
+    zeros3 = jnp.zeros((3,), dt)
+    prior_X = jnp.concatenate([Vel, zeros3])
+    q_frame = try_vel_rot(prior_X, old, fv, None, **kw).q_rho
+
+    def ev(V):
+        return try_vel_rot(jnp.concatenate([V, zeros3]), old, fv, q_frame,
+                           **kw)
+
+    r = ev(Vel)
+    F = r.score
+    JtJ = r.JtJ[:3, :3]
+    JtF = r.JtF[:3]
+    m_id_f = r.m_id_f
+    u = tau * jnp.max(JtJ)
+    v = jnp.asarray(2.0, dt)
+    V = Vel
+    for _ in range(iter_max):
+        h = _solve_lm(JtJ, JtF, u)
+        Vn = V + h
+        rn = ev(Vn)
+        gain = (F - rn.score) / (0.5 * jnp.dot(h, u * h - JtF))
+        acc = gain > 0
+        V = jnp.where(acc, Vn, V)
+        F = jnp.where(acc, rn.score, F)
+        JtJ = jnp.where(acc, rn.JtJ[:3, :3], JtJ)
+        JtF = jnp.where(acc, rn.JtF[:3], JtF)
+        m_id_f = jnp.where(acc, rn.m_id_f, m_id_f)
+        u_acc, v_acc = _lm_damping_update(u, v, gain)
+        u = jnp.where(acc, u_acc, u * v)
+        v = jnp.where(acc, v_acc, v * 2.0)
+
+    RVel = jnp.linalg.inv(JtJ)
+    return MinimizerVResult(Vel=V, RVel=RVel, m_id_f=m_id_f, score=F)

@@ -1,0 +1,117 @@
+"""End-to-end visual-inertial step test on a rendered sequence with
+synthetic IMU (BASELINE.json config 3 shape: CSV-IMU visual-inertial)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rebvo_tpu.frontend.imu import ImuWindow
+from rebvo_tpu.frontend.step import VOFrontend
+from tests.render import render_billboards_seq
+from tests.test_vo_step import SMALL, small_params
+
+
+def make_vi_sequence(n=36, fps=20.0, imu_hz=200.0, seed=0):
+    """Camera oscillating along x over the billboard scene; level camera;
+    gravity +y (down) in the camera frame. Returns frames, times, windows."""
+    A = 0.18
+    om = 2 * np.pi * 0.5
+    t_frames = np.arange(n) / fps
+    x = A * np.sin(om * t_frames)
+    pos = np.zeros((n, 3))
+    pos[:, 0] = x
+    kw = {k: v for k, v in SMALL.items() if k != "z0"}
+    frames, depths = render_billboards_seq(n, cam_positions=pos,
+                                           return_depth=True, seed=seed,
+                                           **kw)
+    ts = 1.0 / imu_hz
+    spf = int(round(imu_hz / fps))
+    S = spf + 6
+    wins = []
+    for i in range(n):
+        t0 = (i - 1) / fps
+        tt = t0 + (np.arange(spf) + 1) * ts
+        a_x = -A * om * om * np.sin(om * tt)
+        accel = np.zeros((S, 3), np.float32)
+        accel[:spf, 0] = a_x
+        accel[:spf, 1] = -9.8           # reaction to gravity (+y down)
+        gyro = np.zeros((S, 3), np.float32)
+        wins.append(ImuWindow(gyro=jnp.asarray(gyro),
+                              accel=jnp.asarray(accel),
+                              count=jnp.asarray(spf, jnp.int32),
+                              tsample=jnp.asarray(ts, jnp.float32)))
+    return frames, t_frames, wins, pos, depths
+
+
+def test_vi_pipeline_runs_and_aligns_gravity():
+    frames, t_frames, wins, pos_true, depths = make_vi_sequence()
+    p = small_params().replace(ImuMode=2, InitBiasFrameNum=4)
+    fe = VOFrontend(p)
+    st = fe.init()
+    st = fe.bootstrap(st, jnp.asarray(frames[0]), jnp.asarray(t_frames[0]))
+    navs = []
+    for i in range(1, frames.shape[0]):
+        st, out = fe.step_imu(st, jnp.asarray(frames[i]),
+                              jnp.asarray(t_frames[i]), wins[i])
+        navs.append(out)
+
+    # everything stays finite and matching healthy
+    P = np.stack([np.asarray(o.nav.Pos) for o in navs])
+    assert np.all(np.isfinite(P))
+    oks = [bool(o.nav.estimation_ok) for o in navs]
+    assert np.mean(oks[3:]) > 0.9, oks
+
+    # gyro bias init converged to ~0 (zero-gyro input)
+    assert np.abs(np.asarray(st.imu.Bg)).max() < 1e-3
+
+    # gravity estimate aligned with +y (down) in the camera frame
+    g = np.asarray(st.imu.g_est)
+    gn = g / np.linalg.norm(g)
+    assert gn[1] > 0.95, g
+    assert abs(np.linalg.norm(g) - 9.8) < 0.5, g
+
+    # the gravity-aligned pose keeps the world y axis near the camera y
+    Pose = np.asarray(navs[-1].nav.Pose)
+    np.testing.assert_allclose(Pose @ gn, [0, 1, 0], atol=0.1)
+
+    # trajectory oscillates dominantly along world-x
+    span = P.max(0) - P.min(0)
+    assert span[0] > 2.0 * span[2], (span, P[-5:])
+
+    # scale state stays positive and finite
+    assert 0.0 < float(st.K_scale) < 100.0
+
+
+def test_vi_scale_filter_moves_toward_gauge():
+    """With a responsive QKp the scale estimate must move toward the
+    visual/metric gauge ratio (rho_est ~ gauge * rho_true)."""
+    frames, t_frames, wins, pos_true, depths = make_vi_sequence(n=40)
+    p = small_params().replace(ImuMode=2, InitBiasFrameNum=4,
+                               ScaleStdDevInit=0.2)
+    fe = VOFrontend(p)
+    st = fe.init()
+    # make the scale process noise responsive for the test
+    st = st._replace(P_Kp=jnp.asarray(2e-2, jnp.float32))
+    st = fe.bootstrap(st, jnp.asarray(frames[0]), jnp.asarray(t_frames[0]))
+    Ks = []
+    for i in range(1, frames.shape[0]):
+        st = st._replace(P_Kp=jnp.maximum(st.P_Kp, 2e-2))
+        st, out = fe.step_imu(st, jnp.asarray(frames[i]),
+                              jnp.asarray(t_frames[i]), wins[i])
+        Ks.append(float(st.K_scale))
+
+    # measure the actual visual gauge of the final map
+    klm = st.klm
+    val = np.asarray(klm.valid)
+    sr = np.asarray(klm.s_rho)
+    conf = val & (sr < 0.5)
+    x = np.asarray(klm.x)[conf].round().astype(int).clip(0, SMALL["width"] - 1)
+    y = np.asarray(klm.y)[conf].round().astype(int).clip(0, SMALL["height"] - 1)
+    gauge = np.median(np.asarray(klm.rho)[conf] * depths[-1][y, x])
+
+    K_final = Ks[-1]
+    assert np.isfinite(K_final) and K_final > 0
+    # K should have moved from 1 toward the gauge (loose factor-2 band:
+    # 40 frames of a drift-tracking filter)
+    if gauge > 1.5:
+        assert K_final > 1.2, (K_final, gauge)
+        assert K_final < gauge * 2.5, (K_final, gauge)
