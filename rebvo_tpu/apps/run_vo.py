@@ -1,0 +1,99 @@
+"""CLI: run VO/VIO on one sequence (the reference's rebvorun,
+app/rebvorun/main.cpp:58-140, minus the interactive keys).
+
+Examples:
+    # EuRoC directory with the shipped-style config
+    python -m rebvo_tpu.apps.run_vo --config GlobalConfig_EuRoC \
+        --euroc /data/MH_01_easy/mav0 --out-dir ./out
+
+    # Synthetic smoke run (no dataset needed)
+    python -m rebvo_tpu.apps.run_vo --synthetic 40 --out-dir ./out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="REBVO-format config file")
+    ap.add_argument("--euroc", help="EuRoC mav0 directory")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--imu", action="store_true", help="visual-inertial mode")
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rebvo_tpu.config import REBVOParameters, load_config
+    from rebvo_tpu.frontend.step import VOFrontend
+    from rebvo_tpu.io.logger import RunLogger
+    from rebvo_tpu.io.undistort import apply_undistort, build_undistort_map
+
+    params = load_config(args.config) if args.config else REBVOParameters()
+    if args.imu:
+        params = params.replace(ImuMode=2)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.synthetic:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        from bench import synth_frames
+        n = args.synthetic
+        frames = synth_frames(params, min(n, 8))
+        seq = [(i / params.config_fps, frames[i % len(frames)], None)
+               for i in range(n)]
+    else:
+        from rebvo_tpu.io.dataset import DatasetSequence
+        ds = DatasetSequence.euroc(args.euroc, with_imu=bool(params.ImuMode))
+        seq = ds
+
+    fe = VOFrontend(params)
+    umap = build_undistort_map(fe.cam) if params.useUndistort else None
+
+    state = fe.init()
+    logger = RunLogger()
+    n_done = 0
+    t_start = time.perf_counter()
+    for t, frame, win in seq:
+        frame = jnp.asarray(frame)
+        if umap is not None:
+            frame = apply_undistort(umap, frame)
+        if n_done == 0:
+            state = fe.bootstrap(state, frame, jnp.asarray(t))
+        elif params.ImuMode and win is not None:
+            state, out = fe.step_imu(state, frame, jnp.asarray(t), win)
+            logger.push(out)
+        else:
+            state, out = fe.step(state, frame, jnp.asarray(t))
+            logger.push(out)
+        n_done += 1
+        if n_done % 50 == 0:
+            r = logger.rows[-1]
+            print(f"frame {n_done}: kl={r['kl_num']} match={r['klm_num']} "
+                  f"pos={np.round(r['Pos'], 3)}", flush=True)
+        if args.max_frames and n_done >= args.max_frames:
+            break
+
+    wall = time.perf_counter() - t_start
+    tray = os.path.join(args.out_dir, params.TrayFile)
+    logger.write_trajectory(tray)
+    logger.write_mfile(os.path.join(args.out_dir, params.LogFile))
+    print(f"processed {n_done} frames in {wall:.1f}s "
+          f"({n_done / wall:.1f} fps); trajectory -> {tray}")
+
+
+if __name__ == "__main__":
+    main()
