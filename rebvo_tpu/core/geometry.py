@@ -36,13 +36,18 @@ def skew(w: Array) -> Array:
 
 
 def so3_exp(w: Array) -> Array:
-    """Rodrigues' formula, Taylor-safe near zero (replaces TooN::SO3)."""
+    """Rodrigues' formula, Taylor-safe near zero (replaces TooN::SO3).
+
+    Gradient-safe at w == 0: sqrt/division operands are sanitised before
+    the branch select, so autodiff through the unused branch cannot
+    produce inf * 0 = NaN (this function is differentiated at exactly
+    zero by the BA and pose-graph Jacobians)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
-    # Taylor guards: sin(t)/t and (1-cos t)/t^2
     small = theta2 < 1e-12
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    t2s = jnp.where(small, 1.0, theta2)       # safe operand for sqrt/div
+    theta = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
     K = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)

@@ -1,0 +1,263 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rebvo_tpu.backend.ba import (BAProblem, ba_solve, ba_solve_sharded,
+                                  partition_problem)
+from rebvo_tpu.backend.keyframe import (KeyframeStore, load_keyframes,
+                                        push_keyframe, save_keyframes)
+from rebvo_tpu.backend.posegraph import (OdometryMeas, PoseGraphLog,
+                                         PoseGraphProblem,
+                                         optimize_pose_graph)
+from rebvo_tpu.core.geometry import so3_exp, so3_log
+from rebvo_tpu.frontend.state import KeylineMap
+from rebvo_tpu.io.trajectory import ate_rmse
+
+ZFM = 300.0
+
+
+def test_keyframe_store_roundtrip(tmp_path):
+    store = KeyframeStore.empty(4, 32)
+    klm = KeylineMap.empty(32)
+    klm = klm._replace(valid=jnp.ones(32, bool),
+                       rho=jnp.full((32,), 0.7, jnp.float32))
+    store = push_keyframe(store, klm, jnp.asarray(1.5), jnp.asarray(2.0),
+                          jnp.eye(3), jnp.asarray([1.0, 2.0, 3.0]),
+                          jnp.zeros(3))
+    assert int(store.count) == 1
+    assert bool(store.valid[0])
+    assert float(store.t[0]) == 1.5
+    np.testing.assert_allclose(store.klm.rho[0], 0.7)
+
+    path = tmp_path / "kf.npz"
+    save_keyframes(str(path), store)
+    loaded = load_keyframes(str(path))
+    assert int(loaded.count) == 1
+    np.testing.assert_allclose(loaded.Pos[0], [1, 2, 3])
+    np.testing.assert_allclose(loaded.klm.rho[0], 0.7)
+
+    # ring wraps
+    for i in range(5):
+        store = push_keyframe(store, klm, jnp.asarray(float(i)),
+                              jnp.asarray(1.0), jnp.eye(3), jnp.zeros(3),
+                              jnp.zeros(3))
+    assert int(store.count) == 4
+
+
+def test_posegraph_log_roundtrip(tmp_path):
+    log = PoseGraphLog()
+    for i in range(3):
+        log.add_frame_meas(OdometryMeas(
+            rel_pose=np.arange(6) * 0.1 + i, W=np.eye(6) * (i + 1),
+            K=1.0 + i, kf_id=i))
+    p = tmp_path / "poses.npz"
+    log.save(str(p))
+    log2 = PoseGraphLog.load(str(p))
+    assert len(log2.meas) == 3
+    np.testing.assert_allclose(log2.meas[1].rel_pose,
+                               np.arange(6) * 0.1 + 1)
+    assert log2.meas[2].kf_id == 2
+
+
+def chain_problem(n=8, seed=0, noise=0.02, loop=True):
+    """Ground-truth pose chain + noisy odometry edges (+ loop closure)."""
+    rng = np.random.RandomState(seed)
+    R_true = [np.eye(3)]
+    p_true = [np.zeros(3)]
+    edges = []
+    for i in range(1, n):
+        w = rng.randn(3) * 0.1
+        t = rng.randn(3) * 0.5
+        R_true.append(R_true[-1] @ np.asarray(so3_exp(jnp.asarray(w, jnp.float32))))
+        p_true.append(p_true[-1] + R_true[-2] @ t)
+        edges.append((i - 1, i, t + rng.randn(3) * noise,
+                      w + rng.randn(3) * noise, 1.0))
+    if loop:
+        # exact relative measurement 0 -> n-1 (a strong loop closure)
+        R0 = R_true[0]
+        rel_t = R0.T @ (p_true[-1] - p_true[0])
+        rel_w = np.asarray(so3_log(jnp.asarray(R0.T @ R_true[-1],
+                                               jnp.float32)))
+        edges.append((0, n - 1, rel_t, rel_w, 50.0))
+    E = len(edges)
+    prob = PoseGraphProblem(
+        i=jnp.asarray([e[0] for e in edges], jnp.int32),
+        j=jnp.asarray([e[1] for e in edges], jnp.int32),
+        t_ij=jnp.asarray(np.stack([e[2] for e in edges]), jnp.float32),
+        w_ij=jnp.asarray(np.stack([e[3] for e in edges]), jnp.float32),
+        info=jnp.asarray([e[4] for e in edges], jnp.float32),
+        valid=jnp.ones((E,), bool))
+    return np.stack(R_true), np.stack(p_true), prob
+
+
+def test_pose_graph_optimizer_reduces_error():
+    R_true, p_true, prob = chain_problem()
+    # integrate the noisy odometry for the initial guess
+    n = R_true.shape[0]
+    R0 = [np.eye(3)]
+    p0 = [np.zeros(3)]
+    for e in range(n - 1):
+        w = np.asarray(prob.w_ij[e])
+        t = np.asarray(prob.t_ij[e])
+        p0.append(p0[-1] + R0[-1] @ t)
+        R0.append(R0[-1] @ np.asarray(so3_exp(jnp.asarray(w, jnp.float32))))
+    R0 = jnp.asarray(np.stack(R0), jnp.float32)
+    p0 = jnp.asarray(np.stack(p0), jnp.float32)
+
+    err0 = np.linalg.norm(np.asarray(p0) - p_true, axis=1).mean()
+    R2, p2, costs = optimize_pose_graph(R0, p0, prob, iters=10)
+    err2 = np.linalg.norm(np.asarray(p2) - p_true, axis=1).mean()
+    assert float(costs[-1]) < float(costs[0]) * 0.2
+    assert err2 < err0 * 0.5, (err0, err2)
+
+
+def make_ba_problem(F=4, L=96, obs_per=3, seed=0, noise_px=0.3):
+    """Synthetic BA: landmarks anchored in kf0, observed in later kfs."""
+    rng = np.random.RandomState(seed)
+    R_true = [np.eye(3)]
+    p_true = [np.zeros(3)]
+    for f in range(1, F):
+        R_true.append(np.asarray(so3_exp(jnp.asarray(
+            rng.randn(3) * 0.02, jnp.float32))) @ R_true[-1])
+        p_true.append(p_true[-1] + np.array([0.15, 0.02, 0.05]) +
+                      rng.randn(3) * 0.02)
+    R_true = np.stack(R_true)
+    p_true = np.stack(p_true)
+
+    lpx = rng.uniform(-150, 150, L)
+    lpy = rng.uniform(-100, 100, L)
+    rho_true = rng.uniform(0.25, 0.8, L)
+    ang = rng.uniform(0, 2 * np.pi, L)
+
+    obs = []
+    for l in range(L):
+        z = 1.0 / rho_true[l]
+        Xa = np.array([lpx[l] * z / ZFM, lpy[l] * z / ZFM, z])
+        Xw = R_true[0] @ Xa + p_true[0]
+        for f in range(1, F):
+            Xf = R_true[f].T @ (Xw - p_true[f])
+            if Xf[2] < 0.3:
+                continue
+            hx = Xf[0] * ZFM / Xf[2]
+            hy = Xf[1] * ZFM / Xf[2]
+            ux, uy = np.cos(ang[l]), np.sin(ang[l])
+            n = rng.randn() * noise_px
+            obs.append((l, f, hx + ux * n, hy + uy * n, ux, uy))
+    O = len(obs)
+    prob = BAProblem(
+        anchor=jnp.zeros((L,), jnp.int32),
+        lpx=jnp.asarray(lpx, jnp.float32),
+        lpy=jnp.asarray(lpy, jnp.float32),
+        rho=jnp.asarray(rho_true, jnp.float32),
+        lvalid=jnp.ones((L,), bool),
+        obs_lm=jnp.asarray([o[0] for o in obs], jnp.int32),
+        obs_kf=jnp.asarray([o[1] for o in obs], jnp.int32),
+        mx=jnp.asarray([o[2] for o in obs], jnp.float32),
+        my=jnp.asarray([o[3] for o in obs], jnp.float32),
+        ux=jnp.asarray([o[4] for o in obs], jnp.float32),
+        uy=jnp.asarray([o[5] for o in obs], jnp.float32),
+        w=jnp.ones((O,), jnp.float32),
+        ovalid=jnp.ones((O,), bool))
+    return R_true, p_true, rho_true, prob
+
+
+def perturb(R_true, p_true, rho_true, seed=1, dp=0.05, dw=0.02, drho=0.15):
+    rng = np.random.RandomState(seed)
+    F = R_true.shape[0]
+    R0 = [R_true[0]]
+    p0 = [p_true[0]]
+    for f in range(1, F):
+        R0.append(np.asarray(so3_exp(jnp.asarray(
+            rng.randn(3) * dw, jnp.float32))) @ R_true[f])
+        p0.append(p_true[f] + rng.randn(3) * dp)
+    rho0 = rho_true * np.exp(rng.randn(rho_true.shape[0]) * drho)
+    return (jnp.asarray(np.stack(R0), jnp.float32),
+            jnp.asarray(np.stack(p0), jnp.float32),
+            jnp.asarray(rho0, jnp.float32))
+
+
+def test_ba_recovers_poses_and_depths():
+    R_true, p_true, rho_true, prob = make_ba_problem(noise_px=0.1)
+    R0, p0, rho0 = perturb(R_true, p_true, rho_true)
+    prob0 = prob._replace(rho=rho0)
+
+    R2, p2, rho2, costs = ba_solve(R0, p0, prob0, jnp.asarray(ZFM),
+                                   iters=10)
+    assert float(costs[-1]) < float(costs[0]) * 0.01, costs
+
+    # Monocular BA has a free scale gauge: compare modulo similarity.
+    ate0 = ate_rmse(np.asarray(p0), p_true)
+    ate2 = ate_rmse(np.asarray(p2), p_true)
+    assert ate2 < max(ate0 * 0.35, 2e-3), (ate0, ate2)
+
+    def gauge_free_rho_err(rho):
+        lg = np.log(np.asarray(rho) / rho_true)
+        return np.abs(lg - np.median(lg)).mean()
+
+    r_err0 = gauge_free_rho_err(rho0)
+    r_err2 = gauge_free_rho_err(rho2)
+    assert r_err2 < max(r_err0 * 0.35, 5e-3), (r_err0, r_err2)
+
+
+def test_ba_sharded_matches_single_device():
+    from rebvo_tpu.parallel.mesh import data_mesh
+    R_true, p_true, rho_true, prob = make_ba_problem(L=64, noise_px=0.1)
+    R0, p0, rho0 = perturb(R_true, p_true, rho_true)
+    prob0 = prob._replace(rho=rho0)
+
+    R1, p1, rho1, c1 = ba_solve(R0, p0, prob0, jnp.asarray(ZFM), iters=6)
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = data_mesh(n_dev)
+    probp = partition_problem(prob0, n_dev)
+    R2, p2, rho2, c2 = ba_solve_sharded(R0, p0, probp, jnp.asarray(ZFM),
+                                        mesh, iters=6)
+    # f32 summation order differs between the sharded and single-device
+    # reductions, and the monocular scale gauge is unconstrained — so
+    # compare convergence (initial cost identical, both converge to the
+    # same floor) and the similarity-aligned trajectories.
+    np.testing.assert_allclose(float(c2[0]), float(c1[0]), rtol=1e-5)
+    assert float(c1[-1]) < float(c1[0]) * 0.01
+    assert float(c2[-1]) < float(c2[0]) * 0.01
+    np.testing.assert_allclose(float(c2[-1]), float(c1[-1]), rtol=0.3)
+    assert ate_rmse(np.asarray(p2), np.asarray(p1)) < 2e-3
+
+
+def test_jax_shardmap_grad_bug_guard():
+    """Guard test for the jax 0.9.0 bug that forced forward-mode
+    Jacobians in ba.py: reverse-mode grad inside vmap returns wrong
+    values under shard_map. If this starts PASSING with allclose, the
+    workaround can be dropped."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from rebvo_tpu.parallel.mesh import data_mesh
+
+    if len(jax.devices()) < 2:
+        return
+    mesh = data_mesh(min(8, len(jax.devices())))
+    n = mesh.devices.size * 2
+    val = jnp.asarray(np.random.RandomState(2).randn(n, 3), jnp.float32)
+
+    def b_rev(val):
+        def one(v):
+            return jax.grad(lambda d: jnp.sum((v + d) ** 2 * 3.0))(
+                jnp.zeros(3, jnp.float32))
+        return jax.vmap(one)(val)
+
+    def b_fwd(val):
+        def one(v):
+            return jax.jacfwd(lambda d: jnp.sum((v + d) ** 2 * 3.0))(
+                jnp.zeros(3, jnp.float32))
+        return jax.vmap(one)(val)
+
+    ax = mesh.axis_names[0]
+    fwd = jax.shard_map(b_fwd, mesh=mesh, in_specs=(P(ax),),
+                        out_specs=P(ax))(val)
+    np.testing.assert_allclose(np.asarray(fwd), np.asarray(b_fwd(val)),
+                               atol=1e-6)
+    rev = jax.shard_map(b_rev, mesh=mesh, in_specs=(P(ax),),
+                        out_specs=P(ax))(val)
+    if np.allclose(np.asarray(rev), np.asarray(b_rev(val)), atol=1e-5):
+        import warnings
+        warnings.warn("jax shard_map reverse-mode bug appears FIXED; "
+                      "the jacfwd workaround in ba.py can be revisited")
