@@ -1,0 +1,97 @@
+"""Edge-map telemetry channel.
+
+Functional replacement for the reference's third-thread network output
+(reference src/CommLib/net_keypoint.* + edgemap_com.*, sent by
+rebvo_third_t.cpp:192-236): per-frame packets carrying the nav state and
+the quantized edge map, streamed fire-and-forget over the native
+fragmented-UDP transport with a CRC16 integrity word.
+
+Packet layout (little endian):
+    u32  magic 'RVTP'
+    u32  frame id
+    u16  width, height
+    u32  keyline count
+    f32  k_scale
+    f32[3]  Pos
+    f32[9]  Pose (row major)
+    f32  t
+    u16  crc16 of the keyline payload
+    u16  reserved
+    keyline records (io.native wire format)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+from rebvo_tpu.io import native
+
+_MAGIC = 0x52565450  # 'RVTP'
+_HDR = struct.Struct("<IIHHIf3f9ffHH")
+
+
+def pack_edgemap(frame_id: int, width: int, height: int, klm, k_scale: float,
+                 pos, pose, t: float) -> bytes:
+    payload, n = native.quantize_keylines(klm, k_scale)
+    crc = native.crc16(payload)
+    pos = np.asarray(pos, np.float32)
+    pose = np.asarray(pose, np.float32).reshape(-1)
+    hdr = _HDR.pack(_MAGIC, frame_id, width, height, n, float(k_scale),
+                    *pos.tolist(), *pose.tolist(), float(t), crc, 0)
+    return hdr + payload
+
+
+def unpack_edgemap(data: bytes) -> Optional[dict]:
+    if len(data) < _HDR.size:
+        return None
+    fields = _HDR.unpack_from(data)
+    if fields[0] != _MAGIC:
+        return None
+    (_, frame_id, width, height, n, k_scale) = fields[:6]
+    pos = np.asarray(fields[6:9], np.float32)
+    pose = np.asarray(fields[9:18], np.float32).reshape(3, 3)
+    t = fields[18]
+    crc = fields[19]
+    payload = data[_HDR.size:]
+    if native.crc16(payload) != crc:
+        return None                     # corrupted: drop (lossy channel)
+    kls = native.dequantize_keylines(payload, k_scale)
+    return dict(frame_id=frame_id, width=width, height=height, n=n,
+                k_scale=k_scale, Pos=pos, Pose=pose, t=t, keylines=kls)
+
+
+class EdgeMapSender:
+    """Streams per-frame edge maps to a remote viewer (VideoNetHost/Port
+    semantics)."""
+
+    def __init__(self, host: str, port: int, width: int, height: int):
+        self.port = native.UdpPort(host, port)
+        self.width = width
+        self.height = height
+        self.frame_id = 0
+
+    def send(self, klm, k_scale, pos, pose, t) -> int:
+        pkt = pack_edgemap(self.frame_id, self.width, self.height, klm,
+                           float(k_scale), pos, pose, float(t))
+        self.frame_id += 1
+        return self.port.send(pkt)
+
+    def close(self):
+        self.port.close()
+
+
+class EdgeMapReceiver:
+    def __init__(self, host: str, port: int):
+        self.port = native.UdpPort(host, port, bind=True)
+
+    def recv(self, timeout_ms: int = 1000) -> Optional[dict]:
+        data = self.port.recv(timeout_ms=timeout_ms)
+        if data is None:
+            return None
+        return unpack_edgemap(data)
+
+    def close(self):
+        self.port.close()
