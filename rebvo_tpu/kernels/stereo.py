@@ -1,0 +1,196 @@
+"""Stereo keyline matching and depth.
+
+Re-implements edge_tracker's stereo path (reference
+src/mtracklib/edge_tracker.cpp:453-688): epipolar search of each cam0
+keyline along its projected depth-range segment in the cam1 edge map,
+with two-candidate ambiguity rejection; closed-form inverse depth from
+the matched pair; information-weighted fusion with the mono EKF depth.
+
+Vectorised with the same two-stage ladder as directed matching: the full
+candidate ladder gathers only the id mask, the attribute tests run on a
+shortlist of hits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rebvo_tpu.frontend.state import RHO_INIT, RHO_MAX, RHO_MIN, KeylineMap
+
+Array = jax.Array
+
+
+class StereoMatchResult(NamedTuple):
+    klm: KeylineMap       # cam0 map with stereo_rho/s fused fields set
+    stereo_m_id: Array    # [K] match ids into the cam1 map (-1 = none)
+    stereo_rho: Array     # [K] stereo inverse depth
+    stereo_s_rho: Array   # [K]
+    nmatch: Array
+
+
+def stereo_depth(px0, py0, ux1, uy1, pm1x, pm1y, R01, t01, zf0, zf1,
+                 loc_uncertainty):
+    """Closed-form inverse depth of a matched pair
+    (getDepthFromStereo, edge_tracker.cpp:623-668). Returns (rho, I_rho).
+    """
+    qh = jnp.stack([px0 / zf0, py0 / zf0, jnp.ones_like(px0)])
+    qh1 = R01 @ qh                                       # [3, K]
+    div = ux1 * (zf1 * t01[0] - pm1x * t01[2]) + \
+        uy1 * (zf1 * t01[1] - pm1y * t01[2])
+    mul = -ux1 * (zf1 * qh1[0] - pm1x * qh1[2]) - \
+        uy1 * (zf1 * qh1[1] - pm1y * qh1[2])
+    rho = mul / jnp.where(jnp.abs(div) > 1e-12, div, 1e-12)
+
+    den = jnp.square(qh1[2] + t01[2] * rho)
+    den = jnp.where(den > 1e-12, den, 1e-12)
+    df = ux1 * zf1 * (t01[0] * (qh1[2] + t01[2] * rho) -
+                      t01[2] * (qh1[0] + t01[0] * rho)) / den + \
+        uy1 * zf1 * (t01[1] * (qh1[2] + t01[2] * rho) -
+                     t01[2] * (qh1[1] + t01[1] * rho)) / den
+    I_rho = jnp.square(df / loc_uncertainty)
+    bad = ~(jnp.isfinite(rho) & jnp.isfinite(df))
+    rho = jnp.where(bad, 1.0, rho)
+    I_rho = jnp.where(bad, 1e-10, I_rho)
+    return rho, I_rho
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "max_steps", "min_thr_mod", "min_thr_ang",
+    "max_radius", "loc_uncertainty"))
+def directed_matching_stereo(
+    klm0: KeylineMap,            # cam0 map (queries)
+    klm1: KeylineMap,            # cam1 map (targets)
+    mask1: Array,                # [H, W] cam1 id mask
+    t01: Array,                  # [3] cam0 -> cam1 translation
+    R01: Array,                  # [3,3] cam0 -> cam1 rotation
+    *,
+    zf0: Array, zf1: Array, cx1: Array, cy1: Array,
+    width: int, height: int, max_steps: int,
+    min_thr_mod: float, min_thr_ang: float, max_radius: float,
+    loc_uncertainty: float,
+) -> StereoMatchResult:
+    dt = klm0.x.dtype
+    K = klm0.K
+    cang_min = jnp.cos(jnp.deg2rad(jnp.asarray(min_thr_ang, dt)))
+
+    # Depth-range segment endpoints in cam1 (edge_tracker.cpp:520-537).
+    min_rho = jnp.clip(klm0.rho - klm0.s_rho, RHO_MIN, RHO_MAX)
+    max_rho = jnp.clip(klm0.rho + klm0.s_rho, RHO_MIN, RHO_MAX)
+
+    def proj1(rho):
+        z = 1.0 / rho
+        X = klm0.px * z / zf0
+        Y = klm0.py * z / zf0
+        Px = R01[0, 0] * X + R01[0, 1] * Y + R01[0, 2] * z + t01[0]
+        Py = R01[1, 0] * X + R01[1, 1] * Y + R01[1, 2] * z + t01[1]
+        Pz = R01[2, 0] * X + R01[2, 1] * Y + R01[2, 2] * z + t01[2]
+        Pz = jnp.where(jnp.abs(Pz) > 1e-9, Pz, 1e-9)
+        return Px * zf1 / Pz, Py * zf1 / Pz
+
+    qminx, qminy = proj1(min_rho)
+    qmaxx, qmaxy = proj1(max_rho)
+    dqx = qmaxx - qminx
+    dqy = qmaxy - qminy
+    norm_t = jnp.sqrt(dqx * dqx + dqy * dqy)
+    moving = norm_t > 1e-6
+    tx = jnp.where(moving, dqx / jnp.where(moving, norm_t, 1.0),
+                   klm0.gx / klm0.n_m)
+    ty = jnp.where(moving, dqy / jnp.where(moving, norm_t, 1.0),
+                   klm0.gy / klm0.n_m)
+    dq_min = jnp.where(moving, -loc_uncertainty,
+                       -max_radius / 2 - loc_uncertainty)
+    dq_max = jnp.where(moving,
+                       jnp.minimum(max_radius, norm_t + loc_uncertainty),
+                       max_radius / 2 + loc_uncertainty)
+    pi0x = qminx + cx1
+    pi0y = qminy + cy1
+
+    # Integer ladder t = dq_min .. dq_max (edge_tracker.cpp:553: int t).
+    steps = jnp.arange(max_steps, dtype=dt)
+    cand_t = jnp.floor(dq_min)[:, None] + steps[None, :]
+    cand_ok = (cand_t >= dq_min[:, None]) & (cand_t < dq_max[:, None]) & \
+        klm0.valid[:, None]
+
+    qx = jnp.floor(tx[:, None] * cand_t + pi0x[:, None] + 0.5).astype(jnp.int32)
+    qy = jnp.floor(ty[:, None] * cand_t + pi0y[:, None] + 0.5).astype(jnp.int32)
+    inb = (qx >= 0) & (qx < width) & (qy >= 0) & (qy < height)
+    lin = jnp.clip(qy, 0, height - 1) * width + jnp.clip(qx, 0, width - 1)
+    j = jnp.where(cand_ok & inb, mask1.reshape(-1)[lin], -1)
+
+    # shortlist of first hits
+    hit_cap = 12
+    nc = j.shape[-1]
+    hit = j >= 0
+    prio = jnp.where(hit, nc - jnp.arange(nc, dtype=jnp.int32)[None, :], 0)
+    top_val, sel_idx = jax.lax.top_k(prio, hit_cap)
+    sel_valid = top_val > 0
+    j_sel = jnp.where(sel_valid, jnp.take_along_axis(j, sel_idx, axis=-1), -1)
+    j_safe = jnp.maximum(j_sel, 0)
+
+    o_gx = klm1.gx[j_safe]
+    o_gy = klm1.gy[j_safe]
+    o_nm = klm1.n_m[j_safe]
+    o_px = klm1.px[j_safe]
+    o_py = klm1.py[j_safe]
+    o_ux = klm1.ux[j_safe]
+    o_uy = klm1.uy[j_safe]
+
+    cang = (o_gx * klm0.gx[:, None] + o_gy * klm0.gy[:, None]) / \
+        (o_nm * klm0.n_m[:, None])
+    accept = (j_sel >= 0) & (cang >= cang_min) & \
+        (jnp.abs(o_nm / klm0.n_m[:, None] - 1.0) <= min_thr_mod)
+
+    # Two-candidate ambiguity rejection (edge_tracker.cpp:594-603): any
+    # pair of accepted candidates further apart than loc_uncertainty in
+    # hom position voids the match; otherwise the LAST accepted wins.
+    big = jnp.asarray(1e9, dt)
+    ax = jnp.where(accept, o_px, big)
+    ay = jnp.where(accept, o_py, big)
+    minx = jnp.min(jnp.where(accept, o_px, big), axis=-1)
+    maxx = jnp.max(jnp.where(accept, o_px, -big), axis=-1)
+    miny = jnp.min(jnp.where(accept, o_py, big), axis=-1)
+    maxy = jnp.max(jnp.where(accept, o_py, -big), axis=-1)
+    spread2 = jnp.square(maxx - minx) + jnp.square(maxy - miny)
+    any_acc = jnp.any(accept, axis=-1)
+    ambiguous = any_acc & (spread2 > loc_uncertainty * loc_uncertainty)
+
+    last = (hit_cap - 1) - jnp.argmax(accept[:, ::-1], axis=-1)
+    rows = jnp.arange(K)
+    m_id = jnp.where(any_acc & (~ambiguous), j_sel[rows, last], -1)
+    ms = jnp.maximum(m_id, 0)
+
+    # Closed-form depth for the matched pairs.
+    rho_st, I_rho = stereo_depth(
+        klm0.px, klm0.py, klm1.ux[ms], klm1.uy[ms], klm1.px[ms],
+        klm1.py[ms], R01, t01, zf0, zf1, loc_uncertainty)
+    s_st = jax.lax.rsqrt(jnp.maximum(I_rho, 1e-12))
+    neg = rho_st < 0
+    m_id = jnp.where(neg, -1, m_id)
+    rho_st = jnp.where(neg | (m_id < 0), RHO_INIT, rho_st)
+    s_st = jnp.where(neg, 1e3, jnp.where(m_id < 0, RHO_MAX, s_st))
+
+    nmatch = jnp.sum((m_id >= 0) & klm0.valid).astype(jnp.int32)
+    return StereoMatchResult(klm=klm0, stereo_m_id=m_id, stereo_rho=rho_st,
+                             stereo_s_rho=s_st, nmatch=nmatch)
+
+
+def fuse_stereo_depth(klm: KeylineMap, stereo_m_id: Array, stereo_rho: Array,
+                      stereo_s_rho: Array) -> KeylineMap:
+    """Information-weighted product of the mono EKF depth and the stereo
+    depth (fuseStereoDepth, edge_tracker.cpp:670-688); the mono estimate
+    is backed up into rho0/s_rho0."""
+    has = stereo_m_id >= 0
+    s0 = klm.s_rho
+    r0 = klm.rho
+    i0 = 1.0 / jnp.square(jnp.maximum(s0, 1e-6))
+    i1 = 1.0 / jnp.square(jnp.maximum(stereo_s_rho, 1e-6))
+    s_new = jax.lax.rsqrt(i0 + i1)
+    r_new = (r0 * i0 + stereo_rho * i1) * jnp.square(s_new)
+    return klm._replace(
+        rho0=r0, s_rho0=s0,
+        rho=jnp.where(has & klm.valid, r_new, klm.rho),
+        s_rho=jnp.where(has & klm.valid, s_new, klm.s_rho))

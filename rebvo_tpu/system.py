@@ -1,0 +1,215 @@
+"""Top-level VO/VIO system — the reference's `REBVO` class equivalent.
+
+Mirrors the public API surface of the reference (include/rebvo/rebvo.h:
+357-640): construct from a config file or parameter struct, feed frames
+(dataset replay or pushed custom frames), push IMU samples, read the
+latest nav state, request resets/snapshots, register an output callback.
+The three POSIX threads collapse into: host-side frame feeding (with the
+native prefetch loader) + the jitted device step + host-side output
+(logging, keyframes, telemetry).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from rebvo_tpu.config import REBVOParameters, load_config
+from rebvo_tpu.frontend.imu import ImuWindow
+from rebvo_tpu.frontend.step import VOFrontend
+from rebvo_tpu.io.logger import RunLogger
+
+
+class VOSystem:
+    """End-to-end system: step + keyframes + pose log + telemetry."""
+
+    def __init__(self, params: REBVOParameters = None,
+                 config_path: str = None):
+        if params is None:
+            params = (load_config(config_path) if config_path
+                      else REBVOParameters())
+        self.params = params
+        self.frontend = VOFrontend(params)
+        self.state = self.frontend.init()
+        self.logger = RunLogger()
+        self.frame_count = 0
+        self._nav_lock = threading.Lock()
+        self._nav = None
+        self._callback: Optional[Callable] = None
+        self._reset_requested = False
+
+        import jax.numpy as jnp
+        self._jnp = jnp
+
+        # keyframe store + pose-graph log (TrackKeyFrames path)
+        self.kf_store = None
+        self.pose_log = None
+        if params.TrackKeyFrames:
+            from rebvo_tpu.backend.keyframe import KeyframeStore
+            from rebvo_tpu.backend.posegraph import PoseGraphLog
+            self.kf_store = KeyframeStore.empty(64, params.KeylineMax)
+            self.pose_log = PoseGraphLog()
+
+        # telemetry sender (VideoNetEnabled)
+        self.sender = None
+        if params.VideoNetEnabled:
+            try:
+                from rebvo_tpu.io.telemetry import EdgeMapSender
+                self.sender = EdgeMapSender(
+                    params.VideoNetHost, params.VideoNetPort,
+                    params.ImageWidth, params.ImageHeight)
+            except Exception:
+                self.sender = None
+
+        # IMU sample buffer for pushIMU (the ImuGrabber role)
+        self._imu_samples = []
+        self._imu_lock = threading.Lock()
+        self._R_c2i = jnp.eye(3)
+        self._T_c2i = jnp.zeros(3)
+
+    # -- reference API surface (rebvo.h names) --------------------------
+
+    def pushIMU(self, t: float, gyro, accel) -> None:
+        """Thread-safe IMU sample push (rebvo.h:534)."""
+        with self._imu_lock:
+            self._imu_samples.append(
+                (float(t), np.asarray(gyro, np.float32),
+                 np.asarray(accel, np.float32)))
+
+    def setCamImuSE3(self, R, T) -> None:
+        jnp = self._jnp
+        self._R_c2i = jnp.asarray(R, jnp.float32)
+        self._T_c2i = jnp.asarray(T, jnp.float32)
+
+    def getNav(self):
+        """Latest nav state (thread-safe; rebvo.h:497)."""
+        with self._nav_lock:
+            return self._nav
+
+    def setOutputCallback(self, fn: Callable) -> None:
+        self._callback = fn
+
+    def Reset(self) -> None:
+        """Depth/trajectory reset request (system_reset semantics)."""
+        self._reset_requested = True
+
+    def TakeSnapshot(self, kf_path: str = "kf_list.npz",
+                     poses_path: str = "poses_list.npz") -> None:
+        """Save keyframes + pose log (the 's' command,
+        app/rebvorun/main.cpp:132-136)."""
+        if self.kf_store is not None:
+            from rebvo_tpu.backend.keyframe import save_keyframes
+            save_keyframes(kf_path, self.kf_store)
+        if self.pose_log is not None:
+            self.pose_log.save(poses_path)
+
+    # -- frame processing -----------------------------------------------
+
+    def _collect_imu_window(self, t0: float, t1: float,
+                            size: int = 32) -> ImuWindow:
+        jnp = self._jnp
+        p = self.params
+        with self._imu_lock:
+            sel = [(t, g, a) for (t, g, a) in self._imu_samples
+                   if t0 < t <= t1]
+            self._imu_samples = [s for s in self._imu_samples if s[0] > t1]
+        n = min(len(sel), size)
+        gyro = np.zeros((size, 3), np.float32)
+        accel = np.zeros((size, 3), np.float32)
+        for i in range(n):
+            gyro[i] = sel[i][1]
+            accel[i] = sel[i][2]
+        return ImuWindow(gyro=jnp.asarray(gyro), accel=jnp.asarray(accel),
+                         count=jnp.asarray(n, np.int32),
+                         tsample=jnp.asarray(p.SampleTime, np.float32))
+
+    def process_frame(self, frame, t: float,
+                      imu_window: Optional[ImuWindow] = None):
+        """Process one frame; returns the FrameOutput (None for the
+        bootstrap frame)."""
+        jnp = self._jnp
+        p = self.params
+        frame = jnp.asarray(frame)
+        t_prev = float(self.state.t)
+
+        if self._reset_requested:
+            # reference system_reset: reset depths + trajectory
+            # (rebvo_second_t.cpp:609-620); simplest faithful form: new
+            # state keeping the detector threshold.
+            thresh = self.state.thresh
+            self.state = self.frontend.init()._replace(thresh=thresh)
+            self.frame_count = 0
+            self._reset_requested = False
+
+        if self.frame_count == 0:
+            self.state = self.frontend.bootstrap(self.state, frame,
+                                                 jnp.asarray(t))
+            self.frame_count += 1
+            return None
+
+        if p.ImuMode > 0:
+            if imu_window is None:
+                imu_window = self._collect_imu_window(
+                    t_prev + p.TimeDesinc, t + p.TimeDesinc)
+            self.state, out = self.frontend.step_imu(
+                self.state, frame, jnp.asarray(t), imu_window,
+                self._R_c2i, self._T_c2i)
+        else:
+            self.state, out = self.frontend.step(self.state, frame,
+                                                 jnp.asarray(t))
+        self.frame_count += 1
+        self.logger.push(out)
+
+        with self._nav_lock:
+            self._nav = out.nav
+        if self._callback is not None:
+            self._callback(out)
+
+        # keyframe maintenance (rebvo_second_t.cpp:591-596 condition
+        # adapted: push when matches drop below the save fraction)
+        if self.kf_store is not None:
+            from rebvo_tpu.backend.keyframe import push_keyframe
+            from rebvo_tpu.backend.posegraph import OdometryMeas
+            klm_num = int(out.nav.klm_num)
+            limit = min(p.TrackPoints, int(out.nav.kl_num)) * p.KFSavePercent
+            if int(self.kf_store.count) == 0 or klm_num < limit:
+                self.kf_store = push_keyframe(
+                    self.kf_store, self.state.klm, self.state.t,
+                    self.state.K_scale, self.state.Pose, self.state.Pos,
+                    self.state.Vel)
+            self.pose_log.add_frame_meas(OdometryMeas(
+                rel_pose=np.concatenate([
+                    -np.asarray(out.nav.Rot) @ np.asarray(self.state.Vel),
+                    np.asarray(out.nav.RotLie)]),
+                W=np.eye(6),
+                K=float(out.nav.scale),
+                kf_id=int(self.kf_store.count) - 1))
+
+        if self.sender is not None:
+            try:
+                self.sender.send(
+                    self.state.klm, float(out.nav.scale),
+                    np.asarray(out.nav.Pos), np.asarray(out.nav.Pose),
+                    float(out.nav.t))
+            except Exception:
+                pass
+        return out
+
+    # -- run helpers -----------------------------------------------------
+
+    def run_sequence(self, seq) -> RunLogger:
+        """Replay an iterable of (t, frame, imu_window|None)."""
+        for t, frame, win in seq:
+            self.process_frame(frame, t, win)
+        return self.logger
+
+    def save_outputs(self, out_dir: str = ".") -> None:
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        p = self.params
+        if self.logger.rows:
+            self.logger.write_trajectory(os.path.join(out_dir, p.TrayFile))
+            if p.SaveLog:
+                self.logger.write_mfile(os.path.join(out_dir, p.LogFile))
