@@ -161,10 +161,16 @@ class REBVOParameters:
     # --- &TPU (new: device-execution parameters, no reference analogue) ---
     KeylineMax: int = 16384        # fixed keyline-batch size (SoA slots)
     MatchMaxSteps: int = 44        # static bound on epipolar search steps
-    FieldRadius: int = 12          # match-field paint radius (px). With the
+    MatchFieldStride: int = 4      # directed matching samples the cached
+                                   # match field at this pixel stride
+                                   # (0 = probe the exact 1px id mask)
+    FieldRadius: int = 6           # match-field paint radius (px). With the
                                    # capped robust cost, matches beyond
                                    # k_huber are score-identical to misses,
-                                   # so this can be far below SearchRange.
+                                   # so this can be far below SearchRange;
+                                   # it must stay >= MatchFieldStride + 2
+                                   # so the strided matcher can't step
+                                   # across a band.
     MeshDataAxis: int = 1          # sequences sharded over this many devices
     UseBf16Images: int = 0         # bfloat16 image path
 

@@ -43,7 +43,9 @@ from rebvo_tpu.kernels.edge_detect import (detect_keylines,
                                            re_estimate_thresh,
                                            update_detector_threshold)
 from rebvo_tpu.kernels.field import build_field
-from rebvo_tpu.kernels.matching import directed_matching, forward_match
+from rebvo_tpu.kernels.matching import (directed_matching,
+                                        directed_matching_field,
+                                        forward_match)
 from rebvo_tpu.kernels.pose_solver import (FieldView, minimizer_rv,
                                            minimizer_v)
 from rebvo_tpu.kernels.scale_space import build_scale_space
@@ -108,6 +110,8 @@ class VOState(NamedTuple):
 
     klm: KeylineMap        # previous frame's edge map (post-processing)
     mask_img: Array        # [H, W] previous map's detection id mask
+    field_img: Array       # [H, W] previous map's match field (reused by
+                           # the field-sampled directed matcher)
     thresh: Array          # detector auto-threshold
     retuned: Array         # previous frame's re-tuned (top-K) threshold
     last_kl_num: Array     # keylines detected last frame
@@ -136,6 +140,7 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
     return VOState(
         klm=KeylineMap.empty(K, dtype=dtype),
         mask_img=jnp.full((H, W), -1, jnp.int32),
+        field_img=jnp.full((H, W), -1, jnp.int32),
         thresh=jnp.asarray(params.DetectorThresh, dtype),
         retuned=jnp.zeros((), dtype),
         last_kl_num=jnp.zeros((), jnp.int32),
@@ -196,9 +201,14 @@ class VOFrontend:
         """Process the first frame: detection only (the reference's dummy
         first-frame consume, rebvo_second_t.cpp:108-122)."""
         klm, mask_img, kl_num, thresh, retuned = self._detect(state, frame)
+        field_img = build_field(
+            klm, retuned,
+            radius=min(self.params.FieldRadius, self.params.SearchRange),
+            height=self.cam.height, width=self.cam.width)
         return state._replace(
-            klm=klm, mask_img=mask_img, thresh=thresh, retuned=retuned,
-            last_kl_num=kl_num, t=jnp.asarray(t, state.t.dtype),
+            klm=klm, mask_img=mask_img, field_img=field_img, thresh=thresh,
+            retuned=retuned, last_kl_num=kl_num,
+            t=jnp.asarray(t, state.t.dtype),
             frame_count=state.frame_count + 1)
 
     # ------------------------------------------------------------------
@@ -214,7 +224,8 @@ class VOFrontend:
             new_klm, retuned, radius=min(p.FieldRadius, p.SearchRange),
             height=cam.height, width=cam.width)
         fv = FieldView.from_map(field_img, new_klm)
-        return new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv
+        return (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
+                field_img)
 
     def _tail(self, state: VOState, detection, V, W, P_V, R, R0_extra,
               nan_fail, t, dt_frame, extra_ok=None):
@@ -225,17 +236,31 @@ class VOFrontend:
         p = self.params
         cam = self.cam
         dt_f = V.dtype
-        new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv = detection
+        (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
+         field_img) = detection
 
-        dres = directed_matching(
-            new_klm, state.klm, state.mask_img, V, P_V, R,
-            zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
-            width=cam.width, height=cam.height,
-            max_steps=p.MatchMaxSteps,
-            min_thr_mod=p.MatchThreshModule,
-            min_thr_ang=p.MatchThreshAngle,
-            max_radius=float(p.SearchRange),
-            loc_uncertainty=p.LocationUncertaintyMatch)
+        if p.MatchFieldStride > 0:
+            stride = p.MatchFieldStride
+            steps = int(p.SearchRange / stride) + 3
+            dres = directed_matching_field(
+                new_klm, state.klm, state.field_img, V, P_V, R,
+                zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
+                width=cam.width, height=cam.height,
+                max_steps=steps, stride=stride,
+                min_thr_mod=p.MatchThreshModule,
+                min_thr_ang=p.MatchThreshAngle,
+                max_radius=float(p.SearchRange),
+                loc_uncertainty=p.LocationUncertaintyMatch)
+        else:
+            dres = directed_matching(
+                new_klm, state.klm, state.mask_img, V, P_V, R,
+                zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
+                width=cam.width, height=cam.height,
+                max_steps=p.MatchMaxSteps,
+                min_thr_mod=p.MatchThreshModule,
+                min_thr_ang=p.MatchThreshAngle,
+                max_radius=float(p.SearchRange),
+                loc_uncertainty=p.LocationUncertaintyMatch)
         klm_num = dres.nmatch
 
         match_fail = klm_num < p.GlobalMatchThreshold
@@ -272,7 +297,8 @@ class VOFrontend:
         dt_frame = jnp.where(dt_frame < 0.001, 1.0 / p.config_fps, dt_frame)
 
         detection = self._front(state, frame)
-        new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv = detection
+        (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
+         field_img) = detection
         old = state.klm
 
         match_num_min = jnp.minimum(
@@ -319,10 +345,10 @@ class VOFrontend:
             estimation_ok=est_ok, kl_num=kl_num, klm_num=klm_num)
 
         new_state = VOState(
-            klm=new_final, mask_img=new_mask, thresh=thresh,
-            retuned=detection[4], last_kl_num=kl_num, Vel=V_out, W0=W,
-            Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose, Pos=Pos, t=t,
-            frame_count=state.frame_count + 1, imu=state.imu)
+            klm=new_final, mask_img=new_mask, field_img=field_img,
+            thresh=thresh, retuned=detection[4], last_kl_num=kl_num,
+            Vel=V_out, W0=W, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose,
+            Pos=Pos, t=t, frame_count=state.frame_count + 1, imu=state.imu)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=mres.score,
                           rel_error=mres.rel_error)
         return new_state, out
@@ -377,7 +403,8 @@ class VOFrontend:
         old_pre = self._rotate_map(state.klm, R.T)
 
         detection = self._front(state._replace(klm=old_pre), frame)
-        new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv = detection
+        (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
+         field_img) = detection
 
         match_num_min = jnp.minimum(
             jnp.asarray(p.MatchNumThresh, jnp.int32),
@@ -491,10 +518,10 @@ class VOFrontend:
             g_est=g_est, b_est=b_est, windows=win2, Posgv=Posgv)
 
         new_state = VOState(
-            klm=new_final, mask_img=new_mask, thresh=thresh,
-            retuned=retuned, last_kl_num=kl_num, Vel=V_out, W0=dWgv,
-            Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose, Pos=Pos, t=t,
-            frame_count=state.frame_count + 1, imu=imu_carry)
+            klm=new_final, mask_img=new_mask, field_img=field_img,
+            thresh=thresh, retuned=retuned, last_kl_num=kl_num, Vel=V_out,
+            W0=dWgv, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose, Pos=Pos,
+            t=t, frame_count=state.frame_count + 1, imu=imu_carry)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=vres.score,
                           rel_error=jnp.zeros((), dt_f))
         return new_state, out

@@ -157,8 +157,9 @@ def estimate_quantile(klm: KeylineMap, *, s_rho_min: float = RHO_MIN,
     span = s_rho_max - s_rho_min
     i = (nbins * (klm.s_rho - s_rho_min) / span).astype(jnp.int32)
     i = jnp.clip(i, 0, nbins - 1)
-    hist = jnp.zeros((nbins,), jnp.int32).at[
-        jnp.where(klm.valid, i, nbins)].add(1, mode="drop")
+    i_eff = jnp.where(klm.valid, i, -1)
+    hist = jnp.sum(i_eff[:, None] == jnp.arange(nbins)[None, :],
+                   axis=0, dtype=jnp.int32)
     shifted = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(hist)[:-1]])
     reached = shifted.astype(jnp.float32) > percentile * kn

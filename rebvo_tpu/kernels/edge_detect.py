@@ -249,8 +249,11 @@ def re_estimate_thresh(klm: KeylineMap, knum: int, nbins: int) -> Array:
     span = jnp.where(max_dog > min_dog, max_dog - min_dog, 1.0)
 
     i = jnp.clip((nbins * (max_dog - n_m) / span).astype(jnp.int32), 0, nbins - 1)
-    hist = jnp.zeros((nbins,), jnp.int32).at[jnp.where(valid, i, nbins)].add(
-        1, mode="drop")
+    # Comparison-matrix histogram: a [K, nbins] equality reduce is far
+    # faster on the VPU than a K-element scatter-add.
+    i_eff = jnp.where(valid, i, -1)
+    hist = jnp.sum(i_eff[:, None] == jnp.arange(nbins)[None, :],
+                   axis=0, dtype=jnp.int32)
     csum = jnp.cumsum(hist) - hist[0]          # sum of bins 1..i
     reached = csum >= knum
     i_star = jnp.where(jnp.any(reached), jnp.argmax(reached), nbins)
