@@ -120,23 +120,28 @@ class CameraModel(NamedTuple):
     principal-point-subtracted pixel coordinates on the zfm focal plane.
     """
 
-    fx: Array
-    fy: Array
-    cx: Array
-    cy: Array
-    zfm: Array          # mean focal length
-    kc2: Array
-    kc4: Array
-    kc6: Array
-    p1: Array
-    p2: Array
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    zfm: float          # mean focal length
+    kc2: float
+    kc4: float
+    kc6: float
+    p1: float
+    p2: float
     width: int          # static
     height: int         # static
 
     @staticmethod
     def make(fx, fy, cx, cy, kc2=0.0, kc4=0.0, kc6=0.0, p1=0.0, p2=0.0,
              width=752, height=480, dtype=jnp.float32) -> "CameraModel":
-        c = lambda v: jnp.asarray(v, dtype=dtype)
+        # Plain Python floats, NOT jnp scalars: a jitted function that
+        # closes over a live device array captures it as a jaxpr constant,
+        # and compiling any such program puts this TPU runtime into a
+        # permanently degraded mode (~100x on gathers; measured in
+        # tools/exp_trigger6.py). Floats become HLO literals instead.
+        c = lambda v: float(v)
         return CameraModel(
             fx=c(fx), fy=c(fy), cx=c(cx), cy=c(cy),
             zfm=c(0.5 * (float(fx) + float(fy))),
