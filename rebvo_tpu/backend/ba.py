@@ -371,3 +371,95 @@ def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
         w=jnp.asarray(new_obs(prob.w)),
         ovalid=jnp.asarray(ovalid),
     )
+
+
+def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
+                           cx: float, cy: float,
+                           match_thresh: float = 0.75,
+                           max_s_rho: float = 20.0,
+                           field_radius: int = 4,
+                           window: int = 2,
+                           rho_sigma: float = 3.0) -> BAProblem:
+    """Build a BA problem from a KeyframeStore by re-matching each
+    keyframe's keylines into the `window` FOLLOWING keyframes (the
+    correspondence source the reference's kfvo builds online via
+    buildForwardMatch/correctAugmentate, kfvo.cpp:739-1041; here rebuilt
+    offline from the stored maps, which is all `run_ba` needs).
+
+    Landmarks: every valid keyline of keyframes 0..F-2, anchored in its
+    own keyframe at its stored hom position/depth (global id f*K + k).
+    Observations: the landmark projected into keyframes f+1..f+window
+    via the stored poses, matched to the nearest keyline of the target
+    map through a match field, gradient-gated exactly like the tracker
+    (Test_f_k). `window` must be >= 2 so a landmark's single depth ties
+    the translation scales of consecutive pairs — with window=1 the
+    monocular problem factors into independent two-view problems, each
+    with a free scale gauge.
+    """
+    from rebvo_tpu.backend.kfvo import relative_pose, transform_map
+    from rebvo_tpu.kernels.field import build_field
+
+    F = store.capacity
+    K = store.klm.x.shape[1]
+    dt = store.Pos.dtype
+
+    fields = [build_field(jax.tree_util.tree_map(lambda a: a[g], store.klm),
+                          jnp.zeros((), dt), radius=field_radius,
+                          height=height, width=width).reshape(-1)
+              for g in range(F)]
+
+    def pair(f, g):
+        src = jax.tree_util.tree_map(lambda a: a[f], store.klm)
+        dst = jax.tree_util.tree_map(lambda a: a[g], store.klm)
+        ok_pair = store.valid[f] & store.valid[g]
+
+        R, t = relative_pose(store.Pose[f], store.Pos[f],
+                             store.Pose[g], store.Pos[g])
+        moved = transform_map(src, R, t, zfm)
+
+        xr = jnp.floor(moved.px + cx + 0.5).astype(jnp.int32)
+        yr = jnp.floor(moved.py + cy + 0.5).astype(jnp.int32)
+        inb = (xr >= 1) & (yr >= 1) & (xr < width - 1) & (yr < height - 1)
+        lin = jnp.clip(yr, 0, height - 1) * width + jnp.clip(xr, 0, width - 1)
+        j = jnp.where(inb, fields[g][lin], -1)
+        js = jnp.maximum(j, 0)
+
+        # Gradient-similarity gate (Test_f_k semantics).
+        p_n2 = moved.n_m * moved.n_m
+        p_esc = moved.gx * dst.gx[js] + moved.gy * dst.gy[js]
+        grad_ok = jnp.abs(p_esc - p_n2) <= match_thresh * p_n2
+
+        # Inverse-depth consistency gate (Calc_f_J_Complete semantics,
+        # global_tracker.cpp:115-169): the matched keyline's own depth
+        # estimate must agree with the transported one — prunes
+        # wrong-edge field hits that the gradient gate lets through.
+        sig = jnp.sqrt(moved.s_rho ** 2 + dst.s_rho[js] ** 2)
+        rho_ok = jnp.abs(moved.rho - dst.rho[js]) <= rho_sigma * sig
+
+        good = (src.valid & dst.valid[js] & (j >= 0) & grad_ok & rho_ok &
+                ok_pair & (src.s_rho <= max_s_rho))
+
+        w = jnp.where(good, 1.0 / jnp.maximum(dst.s_rho[js], 0.05), 0.0)
+        return dict(
+            obs_lm=jnp.arange(K, dtype=jnp.int32) + f * K,
+            obs_kf=jnp.full((K,), g, jnp.int32),
+            mx=dst.x[js] - cx, my=dst.y[js] - cy,
+            ux=dst.ux[js], uy=dst.uy[js],
+            w=w, ovalid=good)
+
+    def landmarks(f):
+        src = jax.tree_util.tree_map(lambda a: a[f], store.klm)
+        return dict(anchor=jnp.full((K,), f, jnp.int32),
+                    lpx=src.px, lpy=src.py, rho=src.rho,
+                    lvalid=src.valid & store.valid[f])
+
+    lms = [landmarks(f) for f in range(F - 1)]
+    obs = [pair(f, g) for f in range(F - 1)
+           for g in range(f + 1, min(f + window, F - 1) + 1)]
+    catl = lambda name: jnp.concatenate([p[name] for p in lms])
+    cato = lambda name: jnp.concatenate([p[name] for p in obs])
+    return BAProblem(
+        anchor=catl("anchor"), lpx=catl("lpx"), lpy=catl("lpy"),
+        rho=catl("rho"), lvalid=catl("lvalid"), obs_lm=cato("obs_lm"),
+        obs_kf=cato("obs_kf"), mx=cato("mx"), my=cato("my"),
+        ux=cato("ux"), uy=cato("uy"), w=cato("w"), ovalid=cato("ovalid"))

@@ -22,10 +22,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def data_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over `n_devices` (default: all) named ('data',)."""
-    devs = jax.devices()
+def data_mesh(n_devices: Optional[int] = None, backend: str = None) -> Mesh:
+    """1-D mesh over `n_devices` (default: all) named ('data',).
+
+    Falls back to the CPU backend (which honours
+    --xla_force_host_platform_device_count) when the default backend has
+    fewer devices than requested; raises rather than silently building a
+    smaller mesh."""
+    devs = jax.devices(backend) if backend else jax.devices()
+    if n_devices is not None and len(devs) < n_devices and backend is None:
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), ("data",))
 

@@ -261,3 +261,130 @@ def test_jax_shardmap_grad_bug_guard():
         import warnings
         warnings.warn("jax shard_map reverse-mode bug appears FIXED; "
                       "the jacfwd workaround in ba.py can be revisited")
+
+
+def synthetic_kf_store(F=4, K=128, seed=3):
+    """Keyframe store whose maps are consistent projections of one
+    landmark field under ground-truth poses (what VOSystem would have
+    saved after a perfect run)."""
+    from rebvo_tpu.config import REBVOParameters
+    from rebvo_tpu.core.geometry import CameraModel
+
+    cam = CameraModel.from_params(REBVOParameters())
+    rng = np.random.RandomState(seed)
+
+    R_true = [np.eye(3)]
+    p_true = [np.zeros(3)]
+    for f in range(1, F):
+        R_true.append(np.asarray(so3_exp(jnp.asarray(
+            rng.randn(3) * 0.01, jnp.float32))) @ R_true[-1])
+        p_true.append(p_true[-1] + np.array([0.10, 0.01, 0.03]) +
+                      rng.randn(3) * 0.01)
+    R_true, p_true = np.stack(R_true), np.stack(p_true)
+
+    # landmark field: hom coords in kf0, depth 1.5..5 m
+    hx = rng.uniform(-220, 220, K)
+    hy = rng.uniform(-150, 150, K)
+    z0 = rng.uniform(1.5, 5.0, K)
+    ang = rng.uniform(0, 2 * np.pi, K)
+    ux, uy = np.cos(ang), np.sin(ang)
+    Xw = (R_true[0] @ np.stack([hx * z0 / cam.zfm,
+                                hy * z0 / cam.zfm, z0])).T + p_true[0]
+
+    maps = []
+    for f in range(F):
+        Xf = (Xw - p_true[f]) @ R_true[f]  # R^T (Xw - p)
+        z = Xf[:, 2]
+        px = Xf[:, 0] * cam.zfm / np.maximum(z, 1e-6)
+        py = Xf[:, 1] * cam.zfm / np.maximum(z, 1e-6)
+        x, y = px + cam.cx, py + cam.cy
+        ok = (z > 0.3) & (x > 2) & (y > 2) & \
+             (x < cam.width - 3) & (y < cam.height - 3)
+        n_m = 120.0
+        klm = KeylineMap.empty(K)._replace(
+            valid=jnp.asarray(ok),
+            x=jnp.asarray(x, jnp.float32), y=jnp.asarray(y, jnp.float32),
+            px=jnp.asarray(px, jnp.float32), py=jnp.asarray(py, jnp.float32),
+            ux=jnp.asarray(ux, jnp.float32), uy=jnp.asarray(uy, jnp.float32),
+            gx=jnp.asarray(ux * n_m, jnp.float32),
+            gy=jnp.asarray(uy * n_m, jnp.float32),
+            n_m=jnp.full((K,), n_m, jnp.float32),
+            rho=jnp.asarray(1.0 / z, jnp.float32),
+            s_rho=jnp.full((K,), 0.1, jnp.float32))
+        maps.append(klm)
+
+    store = KeyframeStore.empty(F, K)._replace(
+        valid=jnp.ones((F,), bool),
+        t=jnp.arange(F, dtype=jnp.float32),
+        Pose=jnp.asarray(R_true, jnp.float32),
+        Pos=jnp.asarray(p_true, jnp.float32),
+        klm=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *maps),
+        next_slot=jnp.zeros((), jnp.int32),
+        count=jnp.asarray(F, jnp.int32))
+    return store, cam
+
+
+def test_problem_from_keyframes_matches_and_solves():
+    from rebvo_tpu.backend.ba import problem_from_keyframes
+
+    store, cam = synthetic_kf_store()
+    prob = problem_from_keyframes(
+        store, cam.zfm, width=cam.width, height=cam.height,
+        cx=float(cam.cx), cy=float(cam.cy))
+    n_obs = int(jnp.sum(prob.ovalid))
+    n_lm = int(jnp.sum(prob.lvalid))
+    # most landmarks re-match into the next keyframe
+    assert n_obs > 0.7 * n_lm, (n_obs, n_lm)
+
+    # matched measurement should be the true reprojection (same keyline)
+    err = jnp.where(prob.ovalid, jnp.abs(prob.mx - 0.0), 0.0)
+    assert jnp.all(jnp.isfinite(err))
+
+    # perturb poses -> BA pulls them back (mod gauge)
+    rng = np.random.RandomState(7)
+    R0, p0 = [np.asarray(store.Pose[0])], [np.asarray(store.Pos[0])]
+    for f in range(1, store.capacity):
+        R0.append(np.asarray(so3_exp(jnp.asarray(
+            rng.randn(3) * 0.004, jnp.float32))) @ np.asarray(store.Pose[f]))
+        p0.append(np.asarray(store.Pos[f]) + rng.randn(3) * 0.01)
+    R0 = jnp.asarray(np.stack(R0), jnp.float32)
+    p0 = jnp.asarray(np.stack(p0), jnp.float32)
+
+    R2, p2, rho2, costs = ba_solve(R0, p0, prob, jnp.asarray(ZFM * 0 + cam.zfm,
+                                                             jnp.float32),
+                                   iters=8)
+    assert float(costs[-1]) < float(costs[0]) * 0.1, costs
+    ate0 = ate_rmse(np.asarray(p0), np.asarray(store.Pos))
+    ate2 = ate_rmse(np.asarray(p2), np.asarray(store.Pos))
+    assert ate2 < ate0 * 0.6, (ate0, ate2)
+
+
+def test_run_ba_app_end_to_end(tmp_path):
+    from rebvo_tpu.apps.run_ba import main
+
+    store, cam = synthetic_kf_store()
+    # save with slightly wrong poses: the app should improve them
+    rng = np.random.RandomState(11)
+    F = store.capacity
+    R0 = [np.asarray(store.Pose[0])]
+    p0 = [np.asarray(store.Pos[0])]
+    for f in range(1, F):
+        R0.append(np.asarray(so3_exp(jnp.asarray(
+            rng.randn(3) * 0.003, jnp.float32))) @ np.asarray(store.Pose[f]))
+        p0.append(np.asarray(store.Pos[f]) + rng.randn(3) * 0.008)
+    noisy = store._replace(Pose=jnp.asarray(np.stack(R0), jnp.float32),
+                           Pos=jnp.asarray(np.stack(p0), jnp.float32))
+    src = tmp_path / "kf_list.npz"
+    save_keyframes(str(src), noisy)
+
+    out = tmp_path / "kf_opt.npz"
+    traj = tmp_path / "kf_opt.tum"
+    rc = main([str(src), "--out", str(out), "--trajectory", str(traj),
+               "--cpu", "--iters", "8"])
+    assert rc == 0
+    assert out.exists() and traj.exists()
+    opt = load_keyframes(str(out))
+    ate0 = ate_rmse(np.asarray(noisy.Pos), np.asarray(store.Pos))
+    ate2 = ate_rmse(np.asarray(opt.Pos), np.asarray(store.Pos))
+    assert ate2 < ate0, (ate0, ate2)
+    assert np.asarray(traj.read_text().strip().splitlines()).shape[0] == F
