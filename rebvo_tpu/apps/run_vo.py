@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--save-video", choices=["raw", "mjpeg"],
+                    help="buffer the encoded input stream to "
+                         "<out-dir>/video.rvv (the reference's VideoSave "
+                         "path, rebvo_third_t.cpp:249-256)")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,6 +67,17 @@ def main(argv=None):
     fe = VOFrontend(params)
     umap = build_undistort_map(fe.cam) if params.useUndistort else None
 
+    venc = vout = None
+    if args.save_video:
+        from rebvo_tpu.io.video import (VIDEO_ENCODER_TYPE_MJPEG,
+                                        VIDEO_ENCODER_TYPE_RAW,
+                                        VideoStreamWriter, make_encoder)
+        etype = (VIDEO_ENCODER_TYPE_MJPEG if args.save_video == "mjpeg"
+                 else VIDEO_ENCODER_TYPE_RAW)
+        venc = make_encoder(etype, params.ImageWidth, params.ImageHeight)
+        vout = VideoStreamWriter(os.path.join(args.out_dir, "video.rvv"),
+                                 params.ImageWidth, params.ImageHeight)
+
     state = fe.init()
     logger = RunLogger()
     n_done = 0
@@ -79,6 +94,11 @@ def main(argv=None):
         else:
             state, out = fe.step(state, frame, jnp.asarray(t))
             logger.push(out)
+        if venc is not None:
+            venc.push_frame(np.asarray(frame))
+            data = venc.pop_frame()
+            if data is not None:
+                vout.write(t, data, venc.encoder_type)
         n_done += 1
         if n_done % 50 == 0:
             r = logger.rows[-1]
@@ -88,6 +108,8 @@ def main(argv=None):
             break
 
     wall = time.perf_counter() - t_start
+    if vout is not None:
+        vout.close()
     tray = os.path.join(args.out_dir, params.TrayFile)
     logger.write_trajectory(tray)
     logger.write_mfile(os.path.join(args.out_dir, params.LogFile))

@@ -148,3 +148,59 @@ def test_evaluate_cli(tmp_path):
     res = main([str(tmp_path / "est.txt"), str(tmp_path / "gt.txt")])
     assert res["pairs"] == 10
     assert res["ate_rmse_m"] < 1e-6      # similarity-aligned
+
+
+def test_video_codecs_roundtrip(tmp_path):
+    import pytest
+    from rebvo_tpu.io.video import (VIDEO_ENCODER_TYPE_MJPEG,
+                                    VIDEO_ENCODER_TYPE_RAW, EncoderMFC,
+                                    VideoDecoder, VideoStreamWriter,
+                                    make_encoder, read_video_stream,
+                                    stream_dims)
+
+    H, W = 48, 64
+    rng = np.random.RandomState(0)
+    # smooth frame (JPEG-friendly), RGB-sum scale 0..765
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    frames = [(380 + 370 * np.sin(xx / 9 + i) * np.cos(yy / 7)).astype(
+        np.float32) for i in range(3)]
+
+    path = tmp_path / "video.rvv"
+    wr = VideoStreamWriter(str(path), W, H)
+    for etype in (VIDEO_ENCODER_TYPE_RAW, VIDEO_ENCODER_TYPE_MJPEG):
+        enc = make_encoder(etype, W, H)
+        assert enc.pop_frame() is None
+        for i, f in enumerate(frames):
+            enc.push_frame(f)
+            wr.write(float(i), enc.pop_frame(), etype)
+    wr.close()
+
+    assert stream_dims(str(path)) == (W, H)
+    dec = VideoDecoder(W, H)
+    pkts = list(read_video_stream(str(path)))
+    assert len(pkts) == 6
+    for k, (t, etype, data) in enumerate(pkts):
+        out = dec.decode(data, etype)
+        assert out.shape == (H, W)
+        tol = 3.5 if etype == VIDEO_ENCODER_TYPE_RAW else 30.0
+        assert np.abs(out - frames[k % 3]).mean() < tol, (k, etype)
+    # raw is exact up to the u8 quantization
+    t0, e0, d0 = pkts[0]
+    assert np.abs(dec.decode(d0, e0) - frames[0]).max() <= 3.0
+
+    with pytest.raises(NotImplementedError):
+        EncoderMFC()
+
+
+def test_run_vo_save_video(tmp_path):
+    from rebvo_tpu.apps.run_vo import main
+    from rebvo_tpu.io.video import read_video_stream, stream_dims
+
+    main(["--synthetic", "6", "--out-dir", str(tmp_path), "--cpu",
+          "--save-video", "mjpeg"])
+    vp = tmp_path / "video.rvv"
+    assert vp.exists()
+    pkts = list(read_video_stream(str(vp)))
+    assert len(pkts) == 6
+    w, h = stream_dims(str(vp))
+    assert (w, h) == (752, 480)
