@@ -6,6 +6,10 @@ Examples:
     python -m rebvo_tpu.apps.run_vo --config GlobalConfig_EuRoC \
         --euroc /data/MH_01_easy/mav0 --out-dir ./out
 
+    # Visual-inertial + stereo
+    python -m rebvo_tpu.apps.run_vo --euroc /data/MH_01_easy/mav0 \
+        --imu --stereo --out-dir ./out
+
     # Synthetic smoke run (no dataset needed)
     python -m rebvo_tpu.apps.run_vo --synthetic 40 --out-dir ./out
 """
@@ -25,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of a dataset")
     ap.add_argument("--imu", action="store_true", help="visual-inertial mode")
+    ap.add_argument("--stereo", action="store_true",
+                    help="stereo mode (StereoAvaiable): loads the cam1 "
+                         "stream and fuses stereo depth per frame")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--max-frames", type=int, default=0)
@@ -42,15 +49,19 @@ def main(argv=None):
 
     from rebvo_tpu.config import REBVOParameters, load_config
     from rebvo_tpu.frontend.step import VOFrontend
+    from rebvo_tpu.io.dataset import imu_window_size, read_cam_imu_se3
     from rebvo_tpu.io.logger import RunLogger
     from rebvo_tpu.io.undistort import apply_undistort, build_undistort_map
 
     params = load_config(args.config) if args.config else REBVOParameters()
     if args.imu:
         params = params.replace(ImuMode=2)
+    if args.stereo:
+        params = params.replace(StereoAvaiable=1)
 
     os.makedirs(args.out_dir, exist_ok=True)
 
+    stereo = bool(params.StereoAvaiable)
     if args.synthetic:
         sys.path.insert(0, os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))))
@@ -59,13 +70,30 @@ def main(argv=None):
         frames = synth_frames(params, min(n, 8))
         seq = [(i / params.config_fps, frames[i % len(frames)], None)
                for i in range(n)]
+        stereo = False
     else:
         from rebvo_tpu.io.dataset import DatasetSequence
-        ds = DatasetSequence.euroc(args.euroc, with_imu=bool(params.ImuMode))
-        seq = ds
+        if args.euroc:
+            seq = DatasetSequence.euroc(
+                args.euroc, with_imu=bool(params.ImuMode), stereo=stereo,
+                window_size=imu_window_size(params),
+                time_desinc=params.TimeDesinc)
+        else:
+            seq = DatasetSequence.from_params(params)
+        stereo = seq.stereo
 
     fe = VOFrontend(params)
     umap = build_undistort_map(fe.cam) if params.useUndistort else None
+    umap_pair = (build_undistort_map(fe.cam_pair)
+                 if stereo and params.useUndistort else None)
+
+    # Camera->IMU extrinsics (the reference applies them inside the IMU
+    # integration, imugrabber.cpp:135-160,217-250).
+    R_c2i = T_c2i = None
+    if params.ImuMode and params.CamImuSE3File:
+        R_np, T_np = read_cam_imu_se3(params.CamImuSE3File)
+        R_c2i = jnp.asarray(R_np, jnp.float32)
+        T_c2i = jnp.asarray(T_np, jnp.float32)
 
     venc = vout = None
     if args.save_video:
@@ -82,17 +110,26 @@ def main(argv=None):
     logger = RunLogger()
     n_done = 0
     t_start = time.perf_counter()
-    for t, frame, win in seq:
+    for item in seq:
+        if stereo:
+            t, frame, win, pair = item
+            pair = jnp.asarray(pair)
+            if umap_pair is not None:
+                pair = apply_undistort(umap_pair, pair)
+        else:
+            t, frame, win = item
+            pair = None
         frame = jnp.asarray(frame)
         if umap is not None:
             frame = apply_undistort(umap, frame)
         if n_done == 0:
-            state = fe.bootstrap(state, frame, jnp.asarray(t))
+            state = fe.bootstrap(state, frame, jnp.asarray(t), pair)
         elif params.ImuMode and win is not None:
-            state, out = fe.step_imu(state, frame, jnp.asarray(t), win)
+            state, out = fe.step_imu(state, frame, jnp.asarray(t), win,
+                                     R_c2i, T_c2i, pair)
             logger.push(out)
         else:
-            state, out = fe.step(state, frame, jnp.asarray(t))
+            state, out = fe.step(state, frame, jnp.asarray(t), pair)
             logger.push(out)
         if venc is not None:
             venc.push_frame(np.asarray(frame))

@@ -143,6 +143,25 @@ class REBVOParameters:
     StereoKcR6: float = 0.0
     StereoKcP1: float = -0.00010473
     StereoKcP2: float = -3.555907e-05
+    # cam0->cam1 extrinsics (X1 = R01 X0 + t01). The reference hard-codes
+    # the EuRoC values inside the step (rebvo_second_t.cpp:467-470, a
+    # noted bug); here they are config keys whose *defaults* are those
+    # EuRoC values, consistent with the rest of this schema. A 12-value
+    # SE3 file (row-major R then T, same format as CamImuSE3File)
+    # overrides the scalars when set.
+    StereoSE3File: str = ""
+    StereoR11: float = 0.999997256477450
+    StereoR12: float = 0.002312067192420
+    StereoR13: float = 0.000376008102351
+    StereoR21: float = -0.002317135723285
+    StereoR22: float = 0.999898048506528
+    StereoR23: float = 0.014089835846697
+    StereoR31: float = -0.000343393120589
+    StereoR32: float = -0.014090668452670
+    StereoR33: float = 0.999900662638179
+    StereoTx: float = -0.110073808127139
+    StereoTy: float = 0.000399121547014
+    StereoTz: float = -0.000853702503351
 
     # --- &SimuCamera ---
     SimVideoFile: str = "sim_video"
@@ -161,6 +180,10 @@ class REBVOParameters:
     # --- &TPU (new: device-execution parameters, no reference analogue) ---
     KeylineMax: int = 16384        # fixed keyline-batch size (SoA slots)
     MatchMaxSteps: int = 44        # static bound on epipolar search steps
+    StereoSearchRange: float = 100.0  # stereo epipolar search radius (px);
+                                   # the reference hard-codes 100
+                                   # (rebvo_second_t.cpp:471)
+    StereoMatchMaxSteps: int = 112  # static bound on the stereo ladder
     MatchFieldStride: int = 4      # directed matching samples the cached
                                    # match field at this pixel stride
                                    # (0 = probe the exact 1px id mask)
@@ -173,6 +196,10 @@ class REBVOParameters:
                                    # across a band.
     MeshDataAxis: int = 1          # sequences sharded over this many devices
     UseBf16Images: int = 0         # bfloat16 image path
+    UsePallas: int = -1            # fused Pallas kernels for the pixel-dense
+                                   # stages: 1 = on, 0 = off (plain XLA),
+                                   # -1 = auto (on when the default backend
+                                   # is a TPU)
 
     # ------------------------------------------------------------------
 
@@ -183,6 +210,21 @@ class REBVOParameters:
     def zf_mean(self) -> float:
         """Mean focal length ('zfm' in the reference, cam_model.h:52)."""
         return 0.5 * (self.ZfX + self.ZfY)
+
+    def stereo_extrinsics(self):
+        """cam0->cam1 (R01, t01) as numpy arrays; StereoSE3File (12-value
+        row-major R then T) takes precedence over the scalar keys."""
+        import numpy as np
+        if self.StereoSE3File:
+            from rebvo_tpu.io.dataset import read_cam_imu_se3
+            return read_cam_imu_se3(self.StereoSE3File)
+        R = np.asarray([
+            [self.StereoR11, self.StereoR12, self.StereoR13],
+            [self.StereoR21, self.StereoR22, self.StereoR23],
+            [self.StereoR31, self.StereoR32, self.StereoR33]], np.float64)
+        T = np.asarray([self.StereoTx, self.StereoTy, self.StereoTz],
+                       np.float64)
+        return R, T
 
 
 # Mapping (section, key) -> dataclass field for names that differ.
@@ -202,6 +244,19 @@ _KEY_ALIASES: Dict[Tuple[str, str], str] = {
     ("Stereo", "KcR6"): "StereoKcR6",
     ("Stereo", "KcP1"): "StereoKcP1",
     ("Stereo", "KcP2"): "StereoKcP2",
+    ("Stereo", "SE3File"): "StereoSE3File",
+    ("Stereo", "R11"): "StereoR11",
+    ("Stereo", "R12"): "StereoR12",
+    ("Stereo", "R13"): "StereoR13",
+    ("Stereo", "R21"): "StereoR21",
+    ("Stereo", "R22"): "StereoR22",
+    ("Stereo", "R23"): "StereoR23",
+    ("Stereo", "R31"): "StereoR31",
+    ("Stereo", "R32"): "StereoR32",
+    ("Stereo", "R33"): "StereoR33",
+    ("Stereo", "Tx"): "StereoTx",
+    ("Stereo", "Ty"): "StereoTy",
+    ("Stereo", "Tz"): "StereoTz",
     ("ProcesorConfig", "SetAffinity"): "cpuSetAffinity",
     ("ProcesorConfig", "CamaraT1"): "cpu0",
     ("ProcesorConfig", "CamaraT2"): "cpu1",

@@ -115,6 +115,9 @@ class VOState(NamedTuple):
     thresh: Array          # detector auto-threshold
     retuned: Array         # previous frame's re-tuned (top-K) threshold
     last_kl_num: Array     # keylines detected last frame
+    thresh_pair: Array     # stereo-pair detector auto-threshold (the pair
+                           # edge_finder's own state, rebvo_first_t.cpp:275)
+    last_kl_num_pair: Array
     Vel: Array             # [3] warm-start translation
     W0: Array              # [3] warm-start rotation
     Kp: Array              # per-frame rescaling ratio
@@ -132,6 +135,7 @@ class FrameOutput(NamedTuple):
     s_rho_q: Array
     score: Array
     rel_error: Array
+    stereo_num: Array      # stereo matches this frame (0 in mono mode)
 
 
 def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
@@ -144,6 +148,8 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
         thresh=jnp.asarray(params.DetectorThresh, dtype),
         retuned=jnp.zeros((), dtype),
         last_kl_num=jnp.zeros((), jnp.int32),
+        thresh_pair=jnp.asarray(params.DetectorThresh, dtype),
+        last_kl_num_pair=jnp.zeros((), jnp.int32),
         Vel=jnp.zeros((3,), dtype),
         W0=jnp.zeros((3,), dtype),
         Kp=jnp.ones((), dtype),
@@ -174,6 +180,21 @@ class VOFrontend:
     def __init__(self, params: REBVOParameters, cam: CameraModel = None):
         self.params = params
         self.cam = cam if cam is not None else CameraModel.from_params(params)
+        if params.UsePallas >= 0:
+            self.use_pallas = bool(params.UsePallas)
+        else:
+            self.use_pallas = jax.default_backend() == "tpu"
+        # Stereo twin (rebvo_second_t.cpp:465-485). Extrinsics come from
+        # config — deliberately NOT the reference's hard-coded EuRoC values
+        # (its :467-470 bug) — stored as Python float tuples so the jitted
+        # step closes over HLO literals, never device arrays (see
+        # tests/test_no_captured_consts.py).
+        self.stereo = bool(params.StereoAvaiable)
+        if self.stereo:
+            self.cam_pair = CameraModel.from_params(params, stereo=True)
+            R01, t01 = params.stereo_extrinsics()
+            self._R01 = tuple(tuple(float(v) for v in row) for row in R01)
+            self._t01 = tuple(float(v) for v in t01)
         self.step = jax.jit(self.step_fn)
         self.step_imu = jax.jit(self.step_imu_fn)
         self.bootstrap = jax.jit(self.bootstrap_fn)
@@ -183,21 +204,38 @@ class VOFrontend:
 
     # ------------------------------------------------------------------
 
-    def _detect(self, state: VOState, frame: Array):
+    def _detect_with(self, frame: Array, thresh0: Array, last_kl_num: Array,
+                     cam: CameraModel):
         p = self.params
-        ss = build_scale_space(frame, p.Sigma0, p.KSigma, 3)
+        if self.use_pallas:
+            from rebvo_tpu.kernels.pallas_scale_space import \
+                build_scale_space_pallas
+            ss = build_scale_space_pallas(frame, p.Sigma0, p.KSigma, 3)
+        else:
+            ss = build_scale_space(frame, p.Sigma0, p.KSigma, 3)
         thresh = update_detector_threshold(
-            state.thresh, state.last_kl_num, p.ReferencePoints,
+            thresh0, last_kl_num, p.ReferencePoints,
             p.DetectorAutoGain, p.DetectorMaxThresh, p.DetectorMinThresh)
         klm, mask_img, kl_num = detect_keylines(
             ss, thresh, K=p.KeylineMax, kl_max=p.MaxPoints,
             win_s=p.DetectorPlaneFitSize, per_hist=p.DetectorPosNegThresh,
             dog_thresh=p.DetectorDoGThresh, max_img_value=MAX_IMG_VALUE,
-            cx=self.cam.cx, cy=self.cam.cy)
+            cx=cam.cx, cy=cam.cy)
         retuned = re_estimate_thresh(klm, p.TrackPoints, p.QCutOffNumBins)
         return klm, mask_img, kl_num, thresh, retuned
 
-    def bootstrap_fn(self, state: VOState, frame: Array, t: Array) -> VOState:
+    def _detect(self, state: VOState, frame: Array):
+        return self._detect_with(frame, state.thresh, state.last_kl_num,
+                                 self.cam)
+
+    def _detect_pair(self, state: VOState, frame_pair: Array):
+        """Stereo-pair detection twin (rebvo_first_t.cpp:275-290): its own
+        auto-threshold carry, the pair camera's intrinsics."""
+        return self._detect_with(frame_pair, state.thresh_pair,
+                                 state.last_kl_num_pair, self.cam_pair)
+
+    def bootstrap_fn(self, state: VOState, frame: Array, t: Array,
+                     frame_pair: Array = None) -> VOState:
         """Process the first frame: detection only (the reference's dummy
         first-frame consume, rebvo_second_t.cpp:108-122)."""
         klm, mask_img, kl_num, thresh, retuned = self._detect(state, frame)
@@ -205,11 +243,17 @@ class VOFrontend:
             klm, retuned,
             radius=min(self.params.FieldRadius, self.params.SearchRange),
             height=self.cam.height, width=self.cam.width)
-        return state._replace(
+        state = state._replace(
             klm=klm, mask_img=mask_img, field_img=field_img, thresh=thresh,
             retuned=retuned, last_kl_num=kl_num,
             t=jnp.asarray(t, state.t.dtype),
             frame_count=state.frame_count + 1)
+        if self.stereo and frame_pair is not None:
+            # advance the pair detector's threshold loop from frame 0
+            _, _, kl_num_p, thresh_p, _ = self._detect_pair(state, frame_pair)
+            state = state._replace(thresh_pair=thresh_p,
+                                   last_kl_num_pair=kl_num_p)
+        return state
 
     # ------------------------------------------------------------------
 
@@ -227,12 +271,22 @@ class VOFrontend:
         return (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
                 field_img)
 
-    def _tail(self, state: VOState, detection, V, W, P_V, R, R0_extra,
-              nan_fail, t, dt_frame, extra_ok=None):
-        """Forward-rotate the old map, directed matching, depth filtering,
-        state assembly (shared by both modes). `R0_extra` is the forward
-        rotation applied to the old map *after* matching-side rotations
-        already applied by the caller were merged into state.klm."""
+    def _stereo_front(self, state: VOState, frame_pair):
+        """Detect the stereo pair frame (when stereo is configured and a
+        pair frame was supplied); returns the _tail stereo bundle plus the
+        pair detector's threshold-carry updates."""
+        if not (self.stereo and frame_pair is not None):
+            return None, state.thresh_pair, state.last_kl_num_pair
+        klm1, mask1, kl_num_p, thresh_p, _ = self._detect_pair(state,
+                                                               frame_pair)
+        return (klm1, mask1), thresh_p, kl_num_p
+
+    def _tail(self, state: VOState, detection, V, P_V, R, nan_fail,
+              stereo=None, extra_ok=None):
+        """Directed matching, depth filtering, and (stereo) depth fusion
+        or (mono) rescaling — shared by both modes. The caller has already
+        merged all forward rotations into state.klm. `stereo` is the pair
+        detection bundle (klm1, mask1) when StereoAvaiable."""
         p = self.params
         cam = self.cam
         dt_f = V.dtype
@@ -272,23 +326,49 @@ class VOFrontend:
         proc = depth_ekf(proc, V, cam.zfm,
                          reshape_q_abs=p.ReshapeQAbsolute,
                          loc_uncertainty=p.LocationUncertainty)
-        proc, Kp_new, P_Kp_new = estimate_rescaling_opt(
-            proc, apply=bool(p.DoReScaling))
+
+        stereo_num = jnp.zeros((), jnp.int32)
+        if stereo is not None:
+            # Stereo depth: epipolar match against the pair map, fuse the
+            # closed-form pair depth with the mono EKF, and pin the gauge
+            # (Kp=1, no rescaling) — rebvo_second_t.cpp:465-489.
+            from rebvo_tpu.kernels.stereo import (directed_matching_stereo,
+                                                  fuse_stereo_depth)
+            klm1, mask1 = stereo
+            cp = self.cam_pair
+            sres = directed_matching_stereo(
+                proc, klm1, mask1,
+                jnp.asarray(self._t01, dt_f), jnp.asarray(self._R01, dt_f),
+                zf0=cam.zfm, zf1=cp.zfm, cx1=cp.cx, cy1=cp.cy,
+                width=cam.width, height=cam.height,
+                max_steps=p.StereoMatchMaxSteps,
+                min_thr_mod=p.MatchThreshModule,
+                min_thr_ang=p.MatchThreshAngle,
+                max_radius=float(p.StereoSearchRange),
+                loc_uncertainty=p.LocationUncertaintyMatch)
+            proc = fuse_stereo_depth(proc, sres.stereo_m_id,
+                                     sres.stereo_rho, sres.stereo_s_rho)
+            stereo_num = sres.nmatch
+            Kp_new = jnp.ones((), dt_f)
+            P_Kp_new = state.P_Kp
+        else:
+            proc, Kp_new, P_Kp_new = estimate_rescaling_opt(
+                proc, apply=bool(p.DoReScaling))
 
         new_final = jax.tree_util.tree_map(
             lambda a, b: jnp.where(est_ok, a, b), proc, dres.new)
         Kp = jnp.where(est_ok, Kp_new, 1.0)
         P_Kp = jnp.where(nan_fail, BIG, jnp.where(match_fail, 10.0, P_Kp_new))
         V_out = jnp.where(est_ok, V, 0.0)
-        return (new_final, new_mask, thresh, retuned, kl_num, klm_num,
-                est_ok, Kp, P_Kp, V_out, s_rho_q)
+        return (new_final, klm_num, est_ok, Kp, P_Kp, V_out, s_rho_q,
+                stereo_num)
 
     # ------------------------------------------------------------------
     # Vision-only path (rebvo_second_t.cpp:338-382 + common tail)
     # ------------------------------------------------------------------
 
-    def step_fn(self, state: VOState, frame: Array,
-                t: Array) -> Tuple[VOState, FrameOutput]:
+    def step_fn(self, state: VOState, frame: Array, t: Array,
+                frame_pair: Array = None) -> Tuple[VOState, FrameOutput]:
         p = self.params
         cam = self.cam
         dt_f = state.Vel.dtype
@@ -299,6 +379,8 @@ class VOFrontend:
         detection = self._front(state, frame)
         (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
          field_img) = detection
+        stereo, thresh_pair, kl_num_pair = self._stereo_front(state,
+                                                              frame_pair)
         old = state.klm
 
         match_num_min = jnp.minimum(
@@ -329,9 +411,9 @@ class VOFrontend:
         state2 = state._replace(klm=old_rot)
         detection2 = (new_fm,) + detection[1:]
 
-        (new_final, new_mask, thresh, retuned_o, kl_num, klm_num, est_ok,
-         Kp, P_Kp, V_out, s_rho_q) = self._tail(
-            state2, detection2, V, W, P_V, R, None, nan_fail, t, dt_frame)
+        (new_final, klm_num, est_ok, Kp, P_Kp, V_out, s_rho_q,
+         stereo_num) = self._tail(
+            state2, detection2, V, P_V, R, nan_fail, stereo=stereo)
 
         K_scale = state.K_scale
         Pose = state.Pose @ R
@@ -346,11 +428,12 @@ class VOFrontend:
 
         new_state = VOState(
             klm=new_final, mask_img=new_mask, field_img=field_img,
-            thresh=thresh, retuned=detection[4], last_kl_num=kl_num,
+            thresh=thresh, retuned=retuned, last_kl_num=kl_num,
+            thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
             Vel=V_out, W0=W, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose,
             Pos=Pos, t=t, frame_count=state.frame_count + 1, imu=state.imu)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=mres.score,
-                          rel_error=mres.rel_error)
+                          rel_error=mres.rel_error, stereo_num=stereo_num)
         return new_state, out
 
     # ------------------------------------------------------------------
@@ -360,6 +443,7 @@ class VOFrontend:
     def step_imu_fn(self, state: VOState, frame: Array, t: Array,
                     win: ImuWindow,
                     R_cam2imu: Array = None, T_cam2imu: Array = None,
+                    frame_pair: Array = None,
                     ) -> Tuple[VOState, FrameOutput]:
         p = self.params
         cam = self.cam
@@ -405,6 +489,8 @@ class VOFrontend:
         detection = self._front(state._replace(klm=old_pre), frame)
         (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
          field_img) = detection
+        stereo, thresh_pair, kl_num_pair = self._stereo_front(state,
+                                                              frame_pair)
 
         match_num_min = jnp.minimum(
             jnp.asarray(p.MatchNumThresh, jnp.int32),
@@ -483,9 +569,9 @@ class VOFrontend:
         V = jnp.where(nan_fail, 0.0, V)
         P_V = jnp.where(nan_fail, eye3 * BIG, P_V)
 
-        (new_final, new_mask, thresh, _ro, kl_num, klm_num, est_ok,
-         Kp, P_Kp, V_out, s_rho_q) = self._tail(
-            state2, detection2, V, dWgv, P_V, R, None, nan_fail, t, dt_frame)
+        (new_final, klm_num, est_ok, Kp, P_Kp, V_out, s_rho_q,
+         stereo_num) = self._tail(
+            state2, detection2, V, P_V, R, nan_fail, stereo=stereo)
 
         # --- Gravity-aligned pose integration (rebvo_second_t.cpp:528-546).
         u_est = Rgva.T @ ic.u_est
@@ -519,11 +605,14 @@ class VOFrontend:
 
         new_state = VOState(
             klm=new_final, mask_img=new_mask, field_img=field_img,
-            thresh=thresh, retuned=retuned, last_kl_num=kl_num, Vel=V_out,
-            W0=dWgv, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose, Pos=Pos,
-            t=t, frame_count=state.frame_count + 1, imu=imu_carry)
+            thresh=thresh, retuned=retuned, last_kl_num=kl_num,
+            thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
+            Vel=V_out, W0=dWgv, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale,
+            Pose=Pose, Pos=Pos, t=t, frame_count=state.frame_count + 1,
+            imu=imu_carry)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=vres.score,
-                          rel_error=jnp.zeros((), dt_f))
+                          rel_error=jnp.zeros((), dt_f),
+                          stereo_num=stereo_num)
         return new_state, out
 
     # ------------------------------------------------------------------

@@ -134,31 +134,63 @@ class DatasetSequence:
 
     def __init__(self, records: List[FrameRecord],
                  imu: Optional[np.ndarray] = None, window_size: int = 32,
-                 time_desinc: float = 0.0):
+                 time_desinc: float = 0.0,
+                 records_pair: Optional[List[FrameRecord]] = None):
         self.records = records
         self.windows = (slice_imu_windows(imu, [r.t for r in records],
                                           window_size, time_desinc)
                         if imu is not None else None)
+        # stereo pair frames, aligned to `records` by timestamp (EuRoC
+        # cam0/cam1 are hardware-synchronised; the reference warns and
+        # drops on mismatch, rebvo_first_t.cpp:185-200 — here mismatched
+        # frames pair with the nearest-in-time pair frame).
+        self.records_pair = None
+        if records_pair:
+            pair_ts = np.asarray([r.t for r in records_pair])
+            self.records_pair = []
+            for r in records:
+                j = int(np.argmin(np.abs(pair_ts - r.t)))
+                self.records_pair.append(records_pair[j])
+
+    @property
+    def stereo(self) -> bool:
+        return self.records_pair is not None
 
     def __len__(self) -> int:
         return len(self.records)
 
     def __iter__(self) -> Iterator:
+        """Yields (t, frame, imu_window|None) — or, for a stereo
+        sequence, (t, frame, imu_window|None, frame_pair) — prefetching
+        the next frame('s pair) on host threads."""
         import concurrent.futures as cf
+
+        def load(i):
+            frame = load_frame(self.records[i].path)
+            if self.records_pair is not None:
+                return frame, load_frame(self.records_pair[i].path)
+            return frame, None
+
         with cf.ThreadPoolExecutor(max_workers=2) as pool:
-            fut = pool.submit(load_frame, self.records[0].path)
+            fut = pool.submit(load, 0)
             for i, rec in enumerate(self.records):
-                frame = fut.result()
+                frame, pair = fut.result()
                 if i + 1 < len(self.records):
-                    fut = pool.submit(load_frame, self.records[i + 1].path)
+                    fut = pool.submit(load, i + 1)
                 win = self.windows[i] if self.windows is not None else None
-                yield rec.t, frame, win
+                if self.records_pair is not None:
+                    yield rec.t, frame, win, pair
+                else:
+                    yield rec.t, frame, win
 
     @staticmethod
     def euroc(mav_dir: str, cam: str = "cam0",
-              with_imu: bool = True) -> "DatasetSequence":
+              with_imu: bool = True, stereo: bool = False,
+              window_size: int = 32,
+              time_desinc: float = 0.0) -> "DatasetSequence":
         """Open a EuRoC `mav0` directory (the reference's
-        GlobalConfig_EuRoC dataset layout)."""
+        GlobalConfig_EuRoC dataset layout); `stereo=True` also pairs the
+        cam1 stream (DataSetDirStereo/DataSetFileStereo role)."""
         cam_dir = os.path.join(mav_dir, cam)
         records = read_image_list(os.path.join(cam_dir, "data.csv"),
                                   os.path.join(cam_dir, "data"))
@@ -167,4 +199,42 @@ class DatasetSequence:
             imu_csv = os.path.join(mav_dir, "imu0", "data.csv")
             if os.path.exists(imu_csv):
                 imu = read_euroc_imu(imu_csv)
-        return DatasetSequence(records, imu)
+        records_pair = None
+        if stereo:
+            pair_dir = os.path.join(mav_dir, "cam1")
+            records_pair = read_image_list(
+                os.path.join(pair_dir, "data.csv"),
+                os.path.join(pair_dir, "data"))
+        return DatasetSequence(records, imu, window_size=window_size,
+                               time_desinc=time_desinc,
+                               records_pair=records_pair)
+
+    @staticmethod
+    def from_params(params) -> "DatasetSequence":
+        """Open the dataset the config points at (DataSetDir/DataSetFile
+        + stereo twin + IMU file), honouring TimeScale keys and sizing
+        the per-frame IMU windows from the sample/frame rates."""
+        records = read_image_list(params.DataSetFile, params.DataSetDir,
+                                  time_scale=params.CamTimeScale)
+        imu = None
+        if params.ImuMode > 0 and params.ImuFile:
+            imu = read_euroc_imu(params.ImuFile,
+                                 time_scale=params.ImuTimeScale)
+        records_pair = None
+        if params.StereoAvaiable and params.DataSetFileStereo:
+            records_pair = read_image_list(params.DataSetFileStereo,
+                                           params.DataSetDirStereo,
+                                           time_scale=params.CamTimeScale)
+        return DatasetSequence(
+            records, imu,
+            window_size=imu_window_size(params),
+            time_desinc=params.TimeDesinc,
+            records_pair=records_pair)
+
+
+def imu_window_size(params) -> int:
+    """Static per-frame IMU window capacity: samples per frame interval
+    (SampleTime vs FPS) padded with 50% slack, at least 8."""
+    per_frame = (1.0 / max(params.config_fps, 1e-6)) / \
+        max(params.SampleTime, 1e-6)
+    return max(8, int(np.ceil(per_frame * 1.5)))

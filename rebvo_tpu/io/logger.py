@@ -5,6 +5,13 @@ src/rebvo/rebvo_third_t.cpp:259-313: ~30 per-frame arrays buffered in
 RAM and written at exit) and the TUM trajectory file. The log schema
 keeps the reference's array names where a direct counterpart exists so
 existing analysis scripts (app/rebvorun/rebvo_log.m) can be adapted.
+
+Like the reference (which buffers in RAM and writes at exit), `push` is
+asynchronous: it only holds a reference to the device output pytree, so
+pushing never forces a device sync and the jitted steps stay pipelined.
+Host conversion happens lazily on first access to `rows` (or at write
+time) — one bulk transfer per drain instead of ~15 blocking `float()`
+calls per frame.
 """
 
 from __future__ import annotations
@@ -13,43 +20,66 @@ from typing import List
 
 import numpy as np
 
-from rebvo_tpu.core.geometry import rotation_to_quaternion
 from rebvo_tpu.io.trajectory import write_tum
 
 
 class RunLogger:
-    """Accumulates FrameOutput records and writes logs at the end."""
+    """Accumulates FrameOutput records; converts to host lazily."""
 
     def __init__(self):
-        self.rows: List[dict] = []
+        self._pending: List = []   # device FrameOutputs, not yet converted
+        self._rows: List[dict] = []
 
     def push(self, out) -> None:
-        nav = out.nav
-        self.rows.append(dict(
-            t=float(nav.t), dt=float(nav.dt),
-            RotLie=np.asarray(nav.RotLie),
-            Vel=np.asarray(nav.Vel),
-            PoseLie=np.asarray(nav.PoseLie),
-            Pos=np.asarray(nav.Pos),
-            Pose=np.asarray(nav.Pose),
-            g=np.asarray(nav.g),
-            scale=float(nav.scale),
-            ok=bool(nav.estimation_ok),
-            kl_num=int(nav.kl_num),
-            klm_num=int(nav.klm_num),
-            s_rho_q=float(out.s_rho_q),
-            score=float(out.score),
-        ))
+        """Record one FrameOutput. No host sync: the device arrays are
+        retained and materialised in bulk later."""
+        self._pending.append(out)
+
+    def _drain(self) -> None:
+        if not self._pending:
+            return
+        import jax
+        outs = jax.device_get(self._pending)   # one bulk transfer
+        self._pending = []
+        for out in outs:
+            nav = out.nav
+            self._rows.append(dict(
+                t=float(nav.t), dt=float(nav.dt),
+                RotLie=np.asarray(nav.RotLie),
+                Vel=np.asarray(nav.Vel),
+                PoseLie=np.asarray(nav.PoseLie),
+                Pos=np.asarray(nav.Pos),
+                Pose=np.asarray(nav.Pose),
+                g=np.asarray(nav.g),
+                scale=float(nav.scale),
+                ok=bool(nav.estimation_ok),
+                kl_num=int(nav.kl_num),
+                klm_num=int(nav.klm_num),
+                s_rho_q=float(out.s_rho_q),
+                score=float(out.score),
+                stereo_num=int(getattr(out, "stereo_num", 0)),
+            ))
+
+    @property
+    def rows(self) -> List[dict]:
+        self._drain()
+        return self._rows
+
+    def __len__(self) -> int:
+        return len(self._pending) + len(self._rows)
 
     # -- TUM trajectory (rebvo_third_t.cpp:311) --
 
     def write_trajectory(self, path: str) -> None:
+        import jax
         import jax.numpy as jnp
-        ts = [r["t"] for r in self.rows]
-        pos = np.stack([r["Pos"] for r in self.rows])
-        quat = np.stack([
-            np.asarray(rotation_to_quaternion(jnp.asarray(r["Pose"])))
-            for r in self.rows])
+
+        from rebvo_tpu.core.geometry import rotation_to_quaternion
+        rows = self.rows
+        ts = [r["t"] for r in rows]
+        pos = np.stack([r["Pos"] for r in rows])
+        poses = jnp.asarray(np.stack([r["Pose"] for r in rows]))
+        quat = np.asarray(jax.vmap(rotation_to_quaternion)(poses))
         write_tum(path, ts, pos, quat)
 
     # -- Matlab-format state log (rebvo_third_t.cpp:265-305) --
@@ -64,17 +94,19 @@ class RunLogger:
                 for row in arr)
             return f"{name}=[{lines}];\n"
 
+        rows = self.rows
         with open(path, "w") as fh:
-            fh.write(mat("t", [r["t"] for r in self.rows]))
-            fh.write(mat("dt", [r["dt"] for r in self.rows]))
-            fh.write(mat("RotLie", [r["RotLie"] for r in self.rows]))
-            fh.write(mat("Vel", [r["Vel"] for r in self.rows]))
-            fh.write(mat("PoseLie", [r["PoseLie"] for r in self.rows]))
-            fh.write(mat("Pos", [r["Pos"] for r in self.rows]))
-            fh.write(mat("Gest", [r["g"] for r in self.rows]))
-            fh.write(mat("Kscale", [r["scale"] for r in self.rows]))
-            fh.write(mat("EstimationOK", [int(r["ok"]) for r in self.rows]))
-            fh.write(mat("KLnum", [r["kl_num"] for r in self.rows]))
-            fh.write(mat("KLMnum", [r["klm_num"] for r in self.rows]))
-            fh.write(mat("SrhoQ", [r["s_rho_q"] for r in self.rows]))
-            fh.write(mat("Score", [r["score"] for r in self.rows]))
+            fh.write(mat("t", [r["t"] for r in rows]))
+            fh.write(mat("dt", [r["dt"] for r in rows]))
+            fh.write(mat("RotLie", [r["RotLie"] for r in rows]))
+            fh.write(mat("Vel", [r["Vel"] for r in rows]))
+            fh.write(mat("PoseLie", [r["PoseLie"] for r in rows]))
+            fh.write(mat("Pos", [r["Pos"] for r in rows]))
+            fh.write(mat("Gest", [r["g"] for r in rows]))
+            fh.write(mat("Kscale", [r["scale"] for r in rows]))
+            fh.write(mat("EstimationOK", [int(r["ok"]) for r in rows]))
+            fh.write(mat("KLnum", [r["kl_num"] for r in rows]))
+            fh.write(mat("KLMnum", [r["klm_num"] for r in rows]))
+            fh.write(mat("SrhoQ", [r["s_rho_q"] for r in rows]))
+            fh.write(mat("Score", [r["score"] for r in rows]))
+            fh.write(mat("StereoNum", [r["stereo_num"] for r in rows]))

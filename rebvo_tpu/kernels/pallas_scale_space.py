@@ -100,7 +100,7 @@ def _sspace_kernel(sizes0, sizes1, img_ref, img0_ref, img1_ref, dog_ref,
     img0_ref[:] = x0
     dog_ref[:] = img1_ref[:] - x0
     # Central differences, zero on the 1-pixel border (sspace.cpp:75-85).
-    H, W = img.shape
+    H, W = x0.shape
     right = jnp.concatenate([x0[:, 1:], x0[:, W - 1:]], axis=-1)
     left = jnp.concatenate([x0[:, :1], x0[:, :W - 1]], axis=-1)
     down = jnp.concatenate([x0[1:, :], x0[H - 1:, :]], axis=-2)

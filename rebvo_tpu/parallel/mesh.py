@@ -22,24 +22,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def data_mesh(n_devices: Optional[int] = None, backend: str = None) -> Mesh:
+def data_mesh(n_devices: Optional[int] = None, backend: str = None,
+              allow_cpu_fallback: bool = False) -> Mesh:
     """1-D mesh over `n_devices` (default: all) named ('data',).
 
-    Falls back to the CPU backend (which honours
-    --xla_force_host_platform_device_count) when the default backend has
-    fewer devices than requested; raises rather than silently building a
-    smaller mesh."""
+    Raises when the backend has fewer devices than requested — a
+    misconfigured accelerator count must never silently downgrade to a
+    smaller mesh or another backend. `allow_cpu_fallback=True` opts in
+    to retrying on the CPU backend (which honours
+    --xla_force_host_platform_device_count) with a printed notice; it is
+    meant for sharding dry runs and CI, not for benchmarking."""
     devs = jax.devices(backend) if backend else jax.devices()
-    if n_devices is not None and len(devs) < n_devices and backend is None:
+    if (n_devices is not None and len(devs) < n_devices
+            and backend is None and allow_cpu_fallback):
         try:
-            devs = jax.devices("cpu")
+            cpu = jax.devices("cpu")
         except RuntimeError:
-            pass
+            cpu = []
+        if len(cpu) >= n_devices:
+            print(f"data_mesh: default backend has {len(devs)} device(s) "
+                  f"< {n_devices}; falling back to {n_devices} virtual "
+                  f"CPU devices (allow_cpu_fallback=True)")
+            devs = cpu
     if n_devices is not None:
         if len(devs) < n_devices:
             raise ValueError(
                 f"requested a {n_devices}-device mesh but only "
-                f"{len(devs)} devices are available")
+                f"{len(devs)} devices are available on backend "
+                f"{devs[0].platform if devs else '?'}; pass "
+                f"allow_cpu_fallback=True to dry-run on virtual CPU "
+                f"devices instead")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), ("data",))
 
