@@ -184,6 +184,15 @@ class REBVOParameters:
                                    # the reference hard-codes 100
                                    # (rebvo_second_t.cpp:471)
     StereoMatchMaxSteps: int = 112  # static bound on the stereo ladder
+    # online keyframe tracking (TrackKeyFrames). The reference hard-codes
+    # dist_thresh=10, tolerance=0 (rebvo_second_t.cpp:438,442); the step
+    # bounds are the fixed budgets replacing its unbounded chain walks.
+    KFDistThresh: float = 10.0     # epipolar prune distance (px)
+    KFChainSteps: int = 6          # chain-descent steps per correction
+    KFAugIters: int = 4            # match-propagation iterations
+    KFAlignMaxRot: float = 0.1     # max accepted KF re-anchor rotation (rad)
+    KFAlignMaxTrans: float = 0.5   # max accepted KF re-anchor translation
+                                   # (VO gauge units)
     MatchFieldStride: int = 4      # directed matching samples the cached
                                    # match field at this pixel stride
                                    # (0 = probe the exact 1px id mask)

@@ -34,6 +34,7 @@ from rebvo_tpu.frontend.imu import (ImuWindow, IntegratedImu, ScaleWindows,
                                     est_ka_gmek_bias, ext_rot_vel,
                                     integrate_window, mean_acel4,
                                     rotation_between)
+from rebvo_tpu.frontend.kf_tracking import KFCarry, track_keyframe
 from rebvo_tpu.frontend.state import (BIG, RHO_INIT, RHO_MAX, KeylineMap,
                                       NavData)
 from rebvo_tpu.kernels.depth_filter import (depth_ekf, estimate_quantile,
@@ -128,6 +129,8 @@ class VOState(NamedTuple):
     t: Array               # previous frame timestamp
     frame_count: Array     # int32 frames processed
     imu: ImuCarry
+    kf: "KFCarry"          # active keyframe (1-slot dummy when
+                           # TrackKeyFrames is off)
 
 
 class FrameOutput(NamedTuple):
@@ -136,6 +139,9 @@ class FrameOutput(NamedTuple):
     score: Array
     rel_error: Array
     stereo_num: Array      # stereo matches this frame (0 in mono mode)
+    kf_id: Array           # int32 active keyframe number (-1 = none)
+    kf_back_m: Array       # int32 frame->KF matches surviving the prune
+    kf_saved: Array        # bool — this frame was pushed as a keyframe
 
 
 def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
@@ -160,6 +166,7 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
         t=jnp.zeros((), dtype),
         frame_count=jnp.zeros((), jnp.int32),
         imu=ImuCarry.make(params, dtype),
+        kf=KFCarry.empty(K if params.TrackKeyFrames else 1, dtype=dtype),
     )
 
 
@@ -419,6 +426,10 @@ class VOFrontend:
         Pose = state.Pose @ R
         Pos = state.Pos - Pose @ (V_out * K_scale)
 
+        (kf_carry, new_final, Pose, Pos, kf_id, kf_back_m,
+         kf_saved) = self._kf_track(state, new_final, fv, Pose, Pos,
+                                    K_scale, kl_num, s_rho_q, est_ok)
+
         nav = NavData(
             t=t, dt=dt_frame, Rot=R, RotLie=so3_log(R),
             Vel=-V_out * K_scale / dt_frame,
@@ -431,9 +442,12 @@ class VOFrontend:
             thresh=thresh, retuned=retuned, last_kl_num=kl_num,
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
             Vel=V_out, W0=W, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose,
-            Pos=Pos, t=t, frame_count=state.frame_count + 1, imu=state.imu)
+            Pos=Pos, t=t, frame_count=state.frame_count + 1, imu=state.imu,
+            kf=kf_carry)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=mres.score,
-                          rel_error=mres.rel_error, stereo_num=stereo_num)
+                          rel_error=mres.rel_error, stereo_num=stereo_num,
+                          kf_id=kf_id, kf_back_m=kf_back_m,
+                          kf_saved=kf_saved)
         return new_state, out
 
     # ------------------------------------------------------------------
@@ -591,6 +605,10 @@ class VOFrontend:
         Pos = jnp.where(filter_on, Pos_f, state.Pos)
         u_est = jnp.where(filter_on, u_est, ic.u_est)
 
+        (kf_carry, new_final, Pose, Pos, kf_id, kf_back_m,
+         kf_saved) = self._kf_track(state, new_final, fv, Pose, Pos,
+                                    K_scale, kl_num, s_rho_q, est_ok)
+
         nav = NavData(
             t=t, dt=dt_frame, Rot=R, RotLie=so3_log(R),
             Vel=-V_out * K_scale / dt_frame,
@@ -609,13 +627,28 @@ class VOFrontend:
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
             Vel=V_out, W0=dWgv, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale,
             Pose=Pose, Pos=Pos, t=t, frame_count=state.frame_count + 1,
-            imu=imu_carry)
+            imu=imu_carry, kf=kf_carry)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=vres.score,
                           rel_error=jnp.zeros((), dt_f),
-                          stereo_num=stereo_num)
+                          stereo_num=stereo_num, kf_id=kf_id,
+                          kf_back_m=kf_back_m, kf_saved=kf_saved)
         return new_state, out
 
     # ------------------------------------------------------------------
+
+    def _kf_track(self, state: VOState, klm: KeylineMap, fv, Pose, Pos,
+                  K_scale, kl_num, s_rho_q, est_ok):
+        """Online keyframe tracking (TrackKeyFrames, statically gated):
+        chain maintenance + pose re-anchor + keyframe switch."""
+        if not self.params.TrackKeyFrames:
+            z = jnp.zeros((), jnp.int32)
+            return (state.kf, klm, Pose, Pos, jnp.asarray(-1, jnp.int32),
+                    z, jnp.asarray(False))
+        res = track_keyframe(
+            state.kf, klm, fv, Pose, Pos, K_scale, kl_num, s_rho_q,
+            est_ok, cam=self.cam, params=self.params)
+        return (res.kf, res.klm, res.Pose, res.Pos, res.kf.count - 1,
+                res.back_m, res.saved)
 
     def _rotate_map(self, klm: KeylineMap, R0: Array) -> KeylineMap:
         """Forward-rotate an edge map (edge_tracker::rotate_keylines)."""

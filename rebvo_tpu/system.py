@@ -167,14 +167,15 @@ class VOSystem:
         if self._callback is not None:
             self._callback(out)
 
-        # keyframe maintenance (rebvo_second_t.cpp:591-596 condition
-        # adapted: push when matches drop below the save fraction)
+        # keyframe maintenance: the jitted step runs the online
+        # TrackKeyFrames block (frontend/kf_tracking.py) and reports its
+        # save decision — the reference's lost-KF-match-ratio condition
+        # (rebvo_second_t.cpp:591-596); the host mirrors saved keyframes
+        # into the persistent store.
         if self.kf_store is not None:
             from rebvo_tpu.backend.keyframe import push_keyframe
             from rebvo_tpu.backend.posegraph import OdometryMeas
-            klm_num = int(out.nav.klm_num)
-            limit = min(p.TrackPoints, int(out.nav.kl_num)) * p.KFSavePercent
-            if int(self.kf_store.count) == 0 or klm_num < limit:
+            if bool(out.kf_saved):
                 self.kf_store = push_keyframe(
                     self.kf_store, self.state.klm, self.state.t,
                     self.state.K_scale, self.state.Pose, self.state.Pos,
@@ -185,7 +186,7 @@ class VOSystem:
                     np.asarray(out.nav.RotLie)]),
                 W=np.eye(6),
                 K=float(out.nav.scale),
-                kf_id=int(self.kf_store.count) - 1))
+                kf_id=int(out.kf_id)))
 
         if self.sender is not None:
             try:
