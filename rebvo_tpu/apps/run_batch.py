@@ -43,7 +43,10 @@ def main(argv=None):
     n_dev = args.devices or len(jax.devices())
     B = args.batch or n_dev
     params = REBVOParameters()
-    mesh = data_mesh(min(n_dev, B))
+    # largest device count that divides the batch (shard_map needs the
+    # batch axis to split evenly; uneven batches waste the remainder)
+    n_mesh = max(d for d in range(1, min(n_dev, B) + 1) if B % d == 0)
+    mesh = data_mesh(n_mesh)
 
     # --- assemble B sequences of frames
     if args.euroc:
@@ -65,9 +68,12 @@ def main(argv=None):
         def frame_at(b, i):
             return i / params.config_fps, pool[b][i % 4]
 
+    from rebvo_tpu.parallel.mesh import shard_sequences
     fe = VOFrontend(params)
-    stepv = jax.jit(jax.vmap(fe.step_fn))
-    bootv = jax.jit(jax.vmap(fe.bootstrap_fn))
+    # shard_map, not GSPMD propagation: independent sequences must not
+    # pay collective overhead (see mesh.shard_sequences)
+    stepv = shard_sequences(fe.step_fn, mesh)
+    bootv = shard_sequences(fe.bootstrap_fn, mesh)
 
     states = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), fe.init())

@@ -1,0 +1,287 @@
+"""Multi-host scaling harness: weak-scaling measurement + cross-process
+correctness of the sharded compute paths.
+
+Launcher mode (default) spawns N worker processes, each pinned to its
+own CPU core (`taskset`) with one virtual XLA CPU device, joined into a
+`jax.distributed` process group. Each worker runs the same per-process
+workload (a batch of VO sequences stepped through the full jitted
+front end, sharded over the global ('data',) mesh), so N processes do N
+times the work: weak-scaling efficiency = T_1 / T_N (ideal 1.0). The
+workers also cross-check the collectives (global psum) and the
+distributed Schur BA against the single-device solver.
+
+    python -m rebvo_tpu.apps.run_multihost --nprocs 2 --out SCALING.json
+
+On a real TPU pod the same worker runs unchanged with one process per
+host (platform='tpu', devices = local chips, DCN between hosts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import time
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+# ---------------------------------------------------------------------------
+# Worker
+# ---------------------------------------------------------------------------
+
+
+def _tiny_params():
+    from rebvo_tpu.config import REBVOParameters
+    return REBVOParameters().replace(
+        ImageWidth=96, ImageHeight=64, PPx=48.0, PPy=32.0,
+        ZfX=60.0, ZfY=60.0, KcR2=0.0, KcR4=0.0, KcP1=0.0, KcP2=0.0,
+        KeylineMax=512, MaxPoints=512, ReferencePoints=256, TrackPoints=512,
+        SearchRange=8, MatchMaxSteps=12, GlobalMatchThreshold=2,
+        UsePallas=0)
+
+
+def _synth_local_frames(params, B, n, rank):
+    import numpy as np
+    H, W = params.ImageHeight, params.ImageWidth
+    rng = np.random.RandomState(1234 + rank)
+    xx, yy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    out = np.empty((n, B, H, W), np.float32)
+    for i in range(n):
+        for b in range(B):
+            img = 300.0 + 250.0 * np.sign(
+                np.sin(xx / 9.0 + 0.3 * i + b) * np.sin(yy / 7.0 - 0.2 * i))
+            out[i, b] = img + rng.rand(H, W) * 8.0
+    return out
+
+
+def worker(rank: int, nprocs: int, coord: str, batch: int, iters: int,
+           check_ba: bool) -> None:
+    from rebvo_tpu.parallel import distributed as dist
+    dist.initialize(coord, nprocs, rank)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert jax.process_count() == nprocs
+    mesh = dist.global_data_mesh()
+    n_dev = len(jax.devices())
+
+    # --- collective sanity: psum of rank-coded shards -------------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    local = np.full((jax.local_device_count(), 4), float(rank + 1),
+                    np.float32)
+    g = dist.host_local_to_global(mesh, local)
+    total = jax.jit(lambda a: jnp.sum(a),
+                    out_shardings=NamedSharding(mesh, P()))(g)
+    expect = sum((r + 1) * jax.local_device_count() * 4
+                 for r in range(nprocs))
+    assert abs(float(np.asarray(total)) - expect) < 1e-3, \
+        (float(np.asarray(total)), expect)
+
+    # --- batched VO steps over the global mesh (weak scaling) -----------
+    from rebvo_tpu.frontend.step import VOFrontend
+    params = _tiny_params()
+    fe = VOFrontend(params)
+    B = batch                                     # per-process batch
+    frames = _synth_local_frames(params, B, 3, rank)
+
+    init = fe.init()
+    states_local = jax.tree_util.tree_map(
+        lambda a: np.broadcast_to(np.asarray(a), (B,) + a.shape).copy(),
+        init)
+    states = dist.host_local_to_global(mesh, states_local)
+    f = [dist.host_local_to_global(mesh, frames[i]) for i in range(3)]
+    ts0 = dist.host_local_to_global(mesh, np.zeros((B,), np.float32))
+
+    from rebvo_tpu.parallel.mesh import shard_sequences
+    bootv = shard_sequences(fe.bootstrap_fn, mesh)
+    stepv = shard_sequences(fe.step_fn, mesh)
+    ts = [dist.host_local_to_global(
+        mesh, np.full((B,), 0.05 * (i + 1), np.float32))
+        for i in range(iters + 2)]
+    states = bootv(states, f[0], ts0)
+    states, _ = stepv(states, f[1], ts[0])
+    jax.block_until_ready(states)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        states, out = stepv(states, f[1 + (i % 2)], ts[i + 1])
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+    fps_local = B * iters / dt
+
+    # --- distributed Schur BA parity vs single device -------------------
+    ba_err = None
+    if check_ba:
+        from rebvo_tpu.backend import ba as bam
+        rng = np.random.RandomState(7)            # identical on all ranks
+        F, L, OBS = 4, 64, 256
+        anchor = rng.randint(0, F, L)
+        lpx = rng.uniform(-30, 30, L).astype(np.float32)
+        lpy = rng.uniform(-20, 20, L).astype(np.float32)
+        rho = rng.uniform(0.2, 2.0, L).astype(np.float32)
+        obs_lm = rng.randint(0, L, OBS)
+        obs_kf = rng.randint(0, F, OBS)
+        prob = bam.BAProblem(
+            anchor=jnp.asarray(anchor), lpx=jnp.asarray(lpx),
+            lpy=jnp.asarray(lpy), rho=jnp.asarray(rho),
+            lvalid=jnp.ones((L,), bool),
+            obs_lm=jnp.asarray(obs_lm), obs_kf=jnp.asarray(obs_kf),
+            mx=jnp.asarray(rng.uniform(-30, 30, OBS).astype(np.float32)),
+            my=jnp.asarray(rng.uniform(-20, 20, OBS).astype(np.float32)),
+            ux=jnp.asarray(np.ones(OBS, np.float32)),
+            uy=jnp.asarray(np.zeros(OBS, np.float32)),
+            w=jnp.asarray(np.ones(OBS, np.float32)),
+            ovalid=jnp.ones((OBS,), bool))
+        R0 = jnp.tile(jnp.eye(3, dtype=jnp.float32), (F, 1, 1))
+        p0 = jnp.asarray(rng.uniform(-0.1, 0.1, (F, 3)).astype(np.float32))
+        zfm = jnp.asarray(60.0, jnp.float32)
+
+        # single-device reference (local, on this process's first device)
+        R_ref, p_ref, _, costs_ref = jax.jit(
+            lambda R, p: bam.ba_solve(R, p, prob, zfm, iters=4))(R0, p0)
+
+        # sharded across every process's devices
+        part = bam.partition_problem(prob, n_dev)
+        shard_l = part.rho.shape[0] // n_dev
+        shard_o = part.obs_lm.shape[0] // n_dev
+        lo_l = jax.process_index() * jax.local_device_count() * shard_l
+        lo_o = jax.process_index() * jax.local_device_count() * shard_o
+        nl = jax.local_device_count() * shard_l
+        no = jax.local_device_count() * shard_o
+
+        def split(a, lo, n):
+            return np.asarray(a)[lo:lo + n]
+
+        lspec = dict(anchor=(lo_l, nl), lpx=(lo_l, nl), lpy=(lo_l, nl),
+                     rho=(lo_l, nl), lvalid=(lo_l, nl))
+        local_prob = bam.BAProblem(
+            **{k: split(getattr(part, k), *v) for k, v in lspec.items()},
+            **{k: split(getattr(part, k), lo_o, no)
+               for k in ("obs_lm", "obs_kf", "mx", "my", "ux", "uy",
+                         "w", "ovalid")})
+        gprob = dist.host_local_to_global(mesh, local_prob)
+        Rg = dist.replicate_global(mesh, R0)
+        pg = dist.replicate_global(mesh, p0)
+        zg = dist.replicate_global(mesh, zfm)
+        R_sh, p_sh, _, costs_sh = bam.ba_solve_sharded(
+            Rg, pg, gprob, zg, mesh, iters=4)
+        ba_err = float(np.max(np.abs(np.asarray(R_sh) - np.asarray(R_ref)))
+                       + np.max(np.abs(np.asarray(p_sh) -
+                                       np.asarray(p_ref))))
+
+    result = dict(rank=rank, nprocs=nprocs, n_devices=n_dev,
+                  batch=B, iters=iters, wall_s=dt, fps_local=fps_local,
+                  psum_ok=True, ba_err=ba_err)
+    print("WORKER_RESULT " + json.dumps(result), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Launcher
+# ---------------------------------------------------------------------------
+
+
+def _spawn(nprocs: int, batch: int, iters: int, check_ba: bool,
+           timeout: float):
+    coord = f"127.0.0.1:{_free_port()}"
+    ncores = os.cpu_count() or 1
+    procs = []
+    for rank in range(nprocs):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            " --xla_force_host_platform_device_count=1")
+        cmd = [sys.executable, "-m", "rebvo_tpu.apps.run_multihost",
+               "--worker", "--rank", str(rank), "--nprocs", str(nprocs),
+               "--coord", coord, "--batch", str(batch),
+               "--iters", str(iters)]
+        if check_ba:
+            cmd.append("--check-ba")
+        if shutil.which("taskset") and ncores >= nprocs:
+            cmd = ["taskset", "-c", str(rank % ncores)] + cmd
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    results = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+            raise RuntimeError(f"worker timed out; output:\n{out[-4000:]}")
+        if pr.returncode != 0:
+            raise RuntimeError(
+                f"worker rc={pr.returncode}; output:\n{out[-4000:]}")
+        for line in out.splitlines():
+            if line.startswith("WORKER_RESULT "):
+                results.append(json.loads(line[len("WORKER_RESULT "):]))
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--rank", type=int, default=0)
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--coord", default="")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--check-ba", action="store_true")
+    ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+
+    if args.worker:
+        worker(args.rank, args.nprocs, args.coord, args.batch, args.iters,
+               args.check_ba)
+        return None
+
+    # weak scaling: same per-process work at N=1 and N=nprocs, each
+    # process pinned to its own core
+    base = _spawn(1, args.batch, args.iters, check_ba=False,
+                  timeout=args.timeout)
+    multi = _spawn(args.nprocs, args.batch, args.iters,
+                   check_ba=args.check_ba, timeout=args.timeout)
+
+    t1 = base[0]["wall_s"]
+    tn = max(r["wall_s"] for r in multi)
+    eff = t1 / tn
+    global_fps = sum(r["fps_local"] for r in multi)
+    ba_errs = [r["ba_err"] for r in multi if r["ba_err"] is not None]
+    report = dict(
+        metric="multihost_weak_scaling_efficiency",
+        value=round(eff, 4),
+        unit="ratio",
+        n_processes=args.nprocs,
+        per_process_batch=args.batch,
+        iters=args.iters,
+        t1_s=round(t1, 3),
+        tn_s=round(tn, 3),
+        global_fps=round(global_fps, 1),
+        psum_ok=all(r["psum_ok"] for r in multi),
+        ba_parity_err=(max(ba_errs) if ba_errs else None),
+        topology="N CPU processes x 1 pinned core x 1 XLA device "
+                 "(jax.distributed over localhost grpc; the TPU-pod "
+                 "topology is 1 process/host with local chips)")
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+    return report
+
+
+if __name__ == "__main__":
+    main()
