@@ -102,6 +102,12 @@ def crc16(data: bytes) -> int:
     return int(lib.rn_crc16(data, len(data)))
 
 
+def net_keyline_size() -> int:
+    """Byte size of one quantized keyline wire record."""
+    lib = load_native()
+    return int(lib.rn_net_keyline_size())
+
+
 class UdpPort:
     """Fragmented UDP transport (lossy telemetry semantics)."""
 

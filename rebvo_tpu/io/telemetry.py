@@ -18,6 +18,9 @@ Packet layout (little endian):
     u16  crc16 of the keyline payload
     u16  reserved
     keyline records (io.native wire format)
+    [optional video section: u16 magic 'VD', u16 encoder type,
+     u32 byte length, encoded frame — the reference streams the encoded
+     camera frame in the same channel (rebvo_third_t.cpp:223-236)]
 """
 
 from __future__ import annotations
@@ -31,17 +34,23 @@ from rebvo_tpu.io import native
 
 _MAGIC = 0x52565450  # 'RVTP'
 _HDR = struct.Struct("<IIHHIf3f9ffHH")
+_VMAGIC = 0x5644     # 'VD'
+_VHDR = struct.Struct("<HHI")
 
 
 def pack_edgemap(frame_id: int, width: int, height: int, klm, k_scale: float,
-                 pos, pose, t: float) -> bytes:
+                 pos, pose, t: float, video: bytes = None,
+                 video_etype: int = 0) -> bytes:
     payload, n = native.quantize_keylines(klm, k_scale)
     crc = native.crc16(payload)
     pos = np.asarray(pos, np.float32)
     pose = np.asarray(pose, np.float32).reshape(-1)
     hdr = _HDR.pack(_MAGIC, frame_id, width, height, n, float(k_scale),
                     *pos.tolist(), *pose.tolist(), float(t), crc, 0)
-    return hdr + payload
+    pkt = hdr + payload
+    if video is not None:
+        pkt += _VHDR.pack(_VMAGIC, video_etype, len(video)) + video
+    return pkt
 
 
 def unpack_edgemap(data: bytes) -> Optional[dict]:
@@ -55,27 +64,48 @@ def unpack_edgemap(data: bytes) -> Optional[dict]:
     pose = np.asarray(fields[9:18], np.float32).reshape(3, 3)
     t = fields[18]
     crc = fields[19]
-    payload = data[_HDR.size:]
-    if native.crc16(payload) != crc:
+    rec = native.net_keyline_size()
+    payload = data[_HDR.size:_HDR.size + n * rec]
+    if len(payload) < n * rec or native.crc16(payload) != crc:
         return None                     # corrupted: drop (lossy channel)
     kls = native.dequantize_keylines(payload, k_scale)
+    video = None
+    video_etype = None
+    rest = data[_HDR.size + n * rec:]
+    if len(rest) >= _VHDR.size:
+        vmagic, etype, vlen = _VHDR.unpack_from(rest)
+        if vmagic == _VMAGIC and len(rest) >= _VHDR.size + vlen:
+            video = rest[_VHDR.size:_VHDR.size + vlen]
+            video_etype = etype
     return dict(frame_id=frame_id, width=width, height=height, n=n,
-                k_scale=k_scale, Pos=pos, Pose=pose, t=t, keylines=kls)
+                k_scale=k_scale, Pos=pos, Pose=pose, t=t, keylines=kls,
+                video=video, video_etype=video_etype)
 
 
 class EdgeMapSender:
-    """Streams per-frame edge maps to a remote viewer (VideoNetHost/Port
-    semantics)."""
+    """Streams per-frame edge maps (+ optionally the encoded camera
+    frame) to a remote viewer (VideoNetHost/Port semantics)."""
 
-    def __init__(self, host: str, port: int, width: int, height: int):
+    def __init__(self, host: str, port: int, width: int, height: int,
+                 video_etype: int = None):
         self.port = native.UdpPort(host, port)
         self.width = width
         self.height = height
         self.frame_id = 0
+        self.encoder = None
+        if video_etype is not None:
+            from rebvo_tpu.io.video import make_encoder
+            self.encoder = make_encoder(video_etype, width, height)
 
-    def send(self, klm, k_scale, pos, pose, t) -> int:
+    def send(self, klm, k_scale, pos, pose, t, frame=None) -> int:
+        video = etype = None
+        if self.encoder is not None and frame is not None:
+            self.encoder.push_frame(np.asarray(frame))
+            video = self.encoder.pop_frame()
+            etype = self.encoder.encoder_type
         pkt = pack_edgemap(self.frame_id, self.width, self.height, klm,
-                           float(k_scale), pos, pose, float(t))
+                           float(k_scale), pos, pose, float(t),
+                           video=video, video_etype=etype or 0)
         self.frame_id += 1
         return self.port.send(pkt)
 

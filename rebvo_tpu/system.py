@@ -52,14 +52,16 @@ class VOSystem:
             self.kf_store = KeyframeStore.empty(64, params.KeylineMax)
             self.pose_log = PoseGraphLog()
 
-        # telemetry sender (VideoNetEnabled)
+        # telemetry sender (VideoNetEnabled): edge map + encoded frame
+        # (EncoderType selects raw/MJPEG, rebvo_third_t.cpp:117-143)
         self.sender = None
         if params.VideoNetEnabled:
             try:
                 from rebvo_tpu.io.telemetry import EdgeMapSender
                 self.sender = EdgeMapSender(
                     params.VideoNetHost, params.VideoNetPort,
-                    params.ImageWidth, params.ImageHeight)
+                    params.ImageWidth, params.ImageHeight,
+                    video_etype=params.EncoderType)
             except Exception:
                 self.sender = None
 
@@ -193,7 +195,7 @@ class VOSystem:
                 self.sender.send(
                     self.state.klm, float(out.nav.scale),
                     np.asarray(out.nav.Pos), np.asarray(out.nav.Pose),
-                    float(out.nav.t))
+                    float(out.nav.t), frame=np.asarray(frame))
             except Exception:
                 pass
         return out
