@@ -318,11 +318,14 @@ def ba_solve_sharded(R: Array, p: Array, prob: BAProblem, zfm: Array,
 def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     """Host-side re-layout: landmarks into contiguous equal blocks and
     each observation onto its landmark's shard, with obs_lm rewritten to
-    shard-local indices. Pads both axes to multiples of n_shards."""
+    shard-local indices. Pads both axes to multiples of n_shards.
+
+    Fully vectorised (round-1's per-observation Python loop is gone):
+    a stable sort by shard plus a cumulative per-shard rank computes
+    every observation's destination slot in O(O log O) numpy."""
     import numpy as np
 
     L = prob.rho.shape[0]
-    O = prob.obs_lm.shape[0]
     Lp = ((L + n_shards - 1) // n_shards) * n_shards
     per_l = Lp // n_shards
 
@@ -332,29 +335,31 @@ def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
                                           a.dtype)])
 
     obs_lm = np.asarray(prob.obs_lm)
+    ovalid = np.asarray(prob.ovalid)
     shard_of = obs_lm // per_l
-    order = np.argsort(shard_of, kind="stable")
 
-    counts = np.bincount(shard_of[np.asarray(prob.ovalid)], minlength=n_shards)
-    per_o = int(counts.max()) if counts.size else 1
+    valid_idx = np.nonzero(ovalid)[0]
+    vshard = shard_of[valid_idx]
+    order = np.argsort(vshard, kind="stable")       # valid obs by shard
+    src = valid_idx[order]                          # source indices
+    sshard = vshard[order]
+    counts = np.bincount(sshard, minlength=n_shards)
+    per_o = int(counts.max()) if counts.size and counts.max() > 0 else 1
     Op = per_o * n_shards
+    # rank of each sorted obs within its shard = position - shard start
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(src.shape[0]) - starts[sshard]
+    dst = sshard * per_o + rank                     # destination slots
 
     def new_obs(a, fill=0):
         a = np.asarray(a)
         out = np.full((Op,) + a.shape[1:], fill, a.dtype)
-        pos = np.zeros(n_shards, np.int64)
-        for idx in order:
-            if not bool(np.asarray(prob.ovalid)[idx]):
-                continue
-            s = shard_of[idx]
-            out[s * per_o + pos[s]] = a[idx]
-            pos[s] += 1
+        out[dst] = a[src]
         return out
 
-    ovalid = new_obs(np.asarray(prob.ovalid), False)
-    obs_lm_new = new_obs(obs_lm, 0)
-    # shard-local landmark ids
-    obs_lm_local = obs_lm_new % per_l
+    ovalid_new = np.zeros(Op, bool)
+    ovalid_new[dst] = True
+    obs_lm_local = new_obs(obs_lm, 0) % per_l
 
     return BAProblem(
         anchor=jnp.asarray(pad_l(prob.anchor)),
@@ -369,7 +374,7 @@ def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
         ux=jnp.asarray(new_obs(prob.ux)),
         uy=jnp.asarray(new_obs(prob.uy)),
         w=jnp.asarray(new_obs(prob.w)),
-        ovalid=jnp.asarray(ovalid),
+        ovalid=jnp.asarray(ovalid_new),
     )
 
 
