@@ -2,14 +2,20 @@
 
 Re-implements the behaviour of depth_filler (reference
 src/visualizer/depth_filler.cpp): block-downsampled grid seeded with
-information-weighted keyline inverse depths, then relaxed so free cells
-interpolate smoothly between the fixed edge cells.
+information-weighted keyline inverse depths, coarse-to-fine
+initialisation of the free cells (InitCoarseFine, depth_filler.cpp:233-
+278), then relaxation so free cells interpolate smoothly between the
+fixed edge cells — inverse depth AND its uncertainty are both relaxed
+(Integrate1Step, depth_filler.cpp:301-357), with the reference's
+boundary modes (BOUND_NONE / BOUND_CORNERS / BOUND_FULL,
+depth_filler.h:62: boundary cells keep their seeded s_rho).
 
-TPU-first design: the reference's serial Gauss-Seidel sweep
-(Integrate1Step, depth_filler.cpp:301-357) becomes Jacobi iterations
-expressed as a 3x3 neighbour-average convolution under a fixed-cell
-mask, run for a static iteration count via lax.scan — a pure stencil
-pipeline, optionally coarse-to-fine.
+TPU-first design: the serial Gauss-Seidel sweep becomes Jacobi
+iterations expressed as a 3x3 neighbour-average convolution under a
+fixed-cell mask, run for a static iteration count via lax.scan; the
+coarse-to-fine pass is a power-of-two masked average-pool pyramid
+broadcast back down — pure stencil pipelines, no data-dependent control
+flow.
 """
 
 from __future__ import annotations
@@ -24,10 +30,14 @@ from rebvo_tpu.frontend.state import KeylineMap
 
 Array = jax.Array
 
+BOUND_NONE = "none"
+BOUND_CORNERS = "corners"
+BOUND_FULL = "full"
+
 
 class DepthFill(NamedTuple):
     rho: Array      # [GH, GW] dense inverse depth on the grid
-    s_rho: Array    # [GH, GW] uncertainty
+    s_rho: Array    # [GH, GW] relaxed uncertainty
     fixed: Array    # [GH, GW] bool — cell seeded by keylines
     block: int      # static block size (pixels per cell)
 
@@ -50,12 +60,72 @@ def _seed(klm: KeylineMap, gh: int, gw: int, block: int, s_rho_max: float):
             fixed.reshape(gh, gw))
 
 
-def _relax(rho: Array, fixed: Array, iters: int, init_fill: Array):
-    """Jacobi relaxation: free cells move toward the 8-neighbour mean of
-    currently-defined cells; fixed cells are clamped."""
-    defined0 = fixed
-    rho0 = jnp.where(fixed, rho, init_fill)
+def _boundary_mask(gh: int, gw: int, mode: str) -> Array:
+    """Cells whose s_rho is pinned (inboundary, depth_filler.cpp)."""
+    m = jnp.zeros((gh, gw), bool)
+    if mode == BOUND_FULL:
+        m = m.at[0, :].set(True).at[-1, :].set(True)
+        m = m.at[:, 0].set(True).at[:, -1].set(True)
+    elif mode == BOUND_CORNERS:
+        m = m.at[0, 0].set(True).at[0, -1].set(True)
+        m = m.at[-1, 0].set(True).at[-1, -1].set(True)
+    return m
 
+
+def _coarse_to_fine_init(rho: Array, s: Array, fixed: Array,
+                         fill_rho: Array) -> Tuple[Array, Array]:
+    """InitCoarseFine (depth_filler.cpp:233-278): free cells take the
+    block mean of the fixed cells covering them, from coarse blocks down
+    to fine — each finer level refines where it has fixed support.
+
+    Implemented as a masked average-pool pyramid on a power-of-two pad:
+    level k pools 2^k x 2^k blocks of (fixed ? value : 0) and the fixed
+    count; a free cell takes the finest level whose block saw a fixed
+    cell."""
+    gh, gw = rho.shape
+    import math
+    ph = 1 << max(1, math.ceil(math.log2(max(gh, 1))))
+    pw = 1 << max(1, math.ceil(math.log2(max(gw, 1))))
+
+    f = fixed.astype(rho.dtype)
+    vr = jnp.zeros((ph, pw), rho.dtype).at[:gh, :gw].set(rho * f)
+    vs = jnp.zeros((ph, pw), rho.dtype).at[:gh, :gw].set(s * f)
+    vf = jnp.zeros((ph, pw), rho.dtype).at[:gh, :gw].set(f)
+
+    out_r = jnp.zeros((ph, pw), rho.dtype)
+    out_s = jnp.zeros((ph, pw), rho.dtype)
+    have = jnp.zeros((ph, pw), bool)
+    # coarse -> fine: finer levels overwrite where they have support
+    n_levels = max(int(math.log2(ph)), int(math.log2(pw))) + 1
+    for k in range(n_levels - 1, -1, -1):
+        bh, bw = min(1 << k, ph), min(1 << k, pw)
+        nh, nw = ph // bh, pw // bw
+        cnt = vf.reshape(nh, bh, nw, bw).sum(axis=(1, 3))
+        rsum = vr.reshape(nh, bh, nw, bw).sum(axis=(1, 3))
+        ssum = vs.reshape(nh, bh, nw, bw).sum(axis=(1, 3))
+        has = cnt > 0
+        mr = jnp.where(has, rsum / jnp.where(has, cnt, 1.0), 0.0)
+        ms = jnp.where(has, ssum / jnp.where(has, cnt, 1.0), 0.0)
+        up = lambda a: jnp.repeat(jnp.repeat(a, bh, axis=0), bw, axis=1)
+        has_up = up(has)
+        out_r = jnp.where(has_up, up(mr), out_r)
+        out_s = jnp.where(has_up, up(ms), out_s)
+        have = have | has_up
+
+    out_r = out_r[:gh, :gw]
+    out_s = out_s[:gh, :gw]
+    have = have[:gh, :gw]
+    rho_init = jnp.where(fixed, rho,
+                         jnp.where(have, out_r, fill_rho))
+    s_init = jnp.where(fixed, s, jnp.where(have, out_s, 1e3))
+    return rho_init, s_init
+
+
+def _relax(rho: Array, s: Array, fixed: Array, boundary: Array,
+           iters: int):
+    """Jacobi relaxation of rho and s_rho: free cells move toward the
+    8-neighbour mean; fixed cells clamp rho; boundary cells clamp s_rho
+    (Integrate1Step semantics with w=1, fix_fixed=true)."""
     kernel = jnp.asarray([[1.0, 1.0, 1.0],
                           [1.0, 0.0, 1.0],
                           [1.0, 1.0, 1.0]], rho.dtype)
@@ -64,34 +134,45 @@ def _relax(rho: Array, fixed: Array, iters: int, init_fill: Array):
         return jax.lax.conv_general_dilated(
             img[None, None], kernel[None, None], (1, 1), "SAME")[0, 0]
 
+    ones = jnp.ones_like(rho)
+    ncnt = conv(ones)
+
     def body(carry, _):
-        r, defined = carry
-        d = defined.astype(rho.dtype)
-        nsum = conv(r * d)
-        ncnt = conv(d)
-        has_n = ncnt > 0
-        mean = nsum / jnp.where(has_n, ncnt, 1.0)
-        new_defined = defined | has_n
-        r2 = jnp.where(fixed, r,
-                       jnp.where(has_n, mean, r))
-        return (r2, new_defined), None
+        r, sr = carry
+        mean_r = conv(r) / ncnt
+        mean_s = conv(sr) / ncnt
+        r2 = jnp.where(fixed, r, mean_r)
+        s2 = jnp.where(boundary, sr, mean_s)
+        return (r2, s2), None
 
-    (r, _), _ = jax.lax.scan(body, (rho0, defined0), None, length=iters)
-    return r
+    (r, sr), _ = jax.lax.scan(body, (rho, s), None, length=iters)
+    return r, sr
 
 
-@partial(jax.jit, static_argnames=("width", "height", "block", "iters"))
+@partial(jax.jit, static_argnames=("width", "height", "block", "iters",
+                                   "coarse_to_fine", "bound_mode"))
 def fill_depth(klm: KeylineMap, *, width: int, height: int, block: int = 8,
-               iters: int = 60, s_rho_max: float = 20.0) -> DepthFill:
+               iters: int = 60, s_rho_max: float = 20.0,
+               coarse_to_fine: bool = True,
+               bound_mode: str = BOUND_NONE) -> DepthFill:
     """Build the dense inverse-depth grid from an edge map."""
     gw = (width + block - 1) // block
     gh = (height + block - 1) // block
     rho, s, fixed = _seed(klm, gh, gw, block, s_rho_max)
-    # neutral fill: mean of seeded cells
     nfix = jnp.sum(fixed)
     mean_rho = jnp.sum(jnp.where(fixed, rho, 0.0)) / jnp.maximum(nfix, 1)
-    dense = _relax(rho, fixed, iters, mean_rho)
-    return DepthFill(rho=dense, s_rho=s, fixed=fixed, block=block)
+    if coarse_to_fine:
+        rho0, s0 = _coarse_to_fine_init(rho, s, fixed, mean_rho)
+    else:
+        rho0 = jnp.where(fixed, rho, mean_rho)
+        s0 = s
+    boundary = _boundary_mask(gh, gw, bound_mode)
+    # non-fixed boundary cells never receive relaxed uncertainty: they
+    # keep the unknown-depth sentinel (the reference's inboundary cells
+    # are excluded from the s_rho update everywhere)
+    s0 = jnp.where(boundary & ~fixed, 1e3, s0)
+    dense, s_dense = _relax(rho0, s0, fixed, boundary | fixed, iters)
+    return DepthFill(rho=dense, s_rho=s_dense, fixed=fixed, block=block)
 
 
 def grid_points_3d(fill: DepthFill, zfm: Array, cx: Array, cy: Array):

@@ -50,6 +50,72 @@ def test_fill_depth_interpolates_plane():
     assert np.all((nn > 0.99) & (nn < 1.01))
 
 
+def _sparse_plane_map(K=2048, n=120, seed=3):
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(40, 700, n).astype(np.float32)
+    y = rng.uniform(40, 440, n).astype(np.float32)
+    rho_true = (0.3 + 0.0004 * x + 0.0002 * y).astype(np.float32)
+    klm = KeylineMap.empty(K)
+    pad = lambda a, fill=0.0: jnp.asarray(
+        np.concatenate([a, np.full(K - n, fill, np.float32)]))
+    return klm._replace(
+        valid=jnp.asarray(np.arange(K) < n),
+        x=pad(x), y=pad(y), rho=pad(rho_true, 1.0),
+        s_rho=pad(np.full(n, 0.05, np.float32), 20.0))
+
+
+def test_fill_depth_coarse_to_fine_accelerates():
+    """With sparse seeds and FEW iterations, the coarse-to-fine init
+    (InitCoarseFine, depth_filler.cpp:233-278) must beat the flat-mean
+    init — information propagates across the grid in the pyramid, not by
+    Jacobi diffusion."""
+    klm = _sparse_plane_map()
+    kw = dict(width=W_IMG, height=H_IMG, block=8, iters=8)
+    f_c2f = fill_depth(klm, coarse_to_fine=True, **kw)
+    f_flat = fill_depth(klm, coarse_to_fine=False, **kw)
+    gh, gw = f_c2f.rho.shape
+    yy, xx = np.mgrid[0:gh, 0:gw]
+    expect = 0.3 + 0.0004 * (xx + 0.5) * 8 + 0.0002 * (yy + 0.5) * 8
+    err_c2f = np.abs(np.asarray(f_c2f.rho) - expect)[4:-4, 4:-4].mean()
+    err_flat = np.abs(np.asarray(f_flat.rho) - expect)[4:-4, 4:-4].mean()
+    assert err_c2f < 0.7 * err_flat, (err_c2f, err_flat)
+
+
+def test_fill_depth_relaxes_uncertainty():
+    """s_rho is relaxed alongside rho (Integrate1Step): free cells near
+    seeds inherit finite uncertainty instead of the 1e3 sentinel."""
+    klm = _sparse_plane_map()
+    fill = fill_depth(klm, width=W_IMG, height=H_IMG, block=8, iters=40)
+    s = np.asarray(fill.s_rho)
+    free = ~np.asarray(fill.fixed)
+    assert np.isfinite(s).all()
+    assert np.median(s[free]) < 500.0          # moved off the sentinel
+    # seeded cells keep their information-weighted seed value
+    assert np.median(s[np.asarray(fill.fixed)]) < 0.1
+
+
+def test_fill_depth_boundary_modes():
+    """BOUND_FULL pins the border cells' s_rho at the sentinel while
+    BOUND_NONE relaxes it (depth_filler.h:62)."""
+    klm = _sparse_plane_map()
+    kw = dict(width=W_IMG, height=H_IMG, block=8, iters=40)
+    f_none = fill_depth(klm, bound_mode="none", **kw)
+    f_full = fill_depth(klm, bound_mode="full", **kw)
+    s_none = np.asarray(f_none.s_rho)
+    s_full = np.asarray(f_full.s_rho)
+    border = np.zeros(s_full.shape, bool)
+    border[0, :] = border[-1, :] = True
+    border[:, 0] = border[:, -1] = True
+    fixed = np.asarray(f_full.fixed)
+    pinned = border & ~fixed
+    # full mode: non-fixed border cells keep their initial s
+    assert np.median(s_full[pinned]) > np.median(s_none[pinned]), \
+        (np.median(s_full[pinned]), np.median(s_none[pinned]))
+    # rho itself is unaffected by the boundary mode
+    np.testing.assert_allclose(np.asarray(f_none.rho),
+                               np.asarray(f_full.rho), atol=1e-5)
+
+
 def stereo_rig():
     R01 = np.eye(3)
     t01 = np.array([-0.11, 0.0, 0.0])    # EuRoC-like baseline
