@@ -2,17 +2,32 @@
 
 Prints ONE JSON line:
   {"metric": "vo_step_fps_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 20.0}
+   "vs_baseline": N / 20.0, "detail": {...}}
 
 Baseline: the reference runs as a 20 FPS realtime system on MAV-class
 CPUs (BASELINE.md); the north-star target is >200 frames/s/chip.
 
-The step includes everything the reference's three threads do per frame
-on the compute path: scale space, edge detection + compaction, match
-field, LM pose estimation (2+2+5 TryVelRot evaluations), forward +
-directed matching, regularization, depth EKF, rescaling and pose
-integration, at EuRoC 752x480 with a 16384-keyline budget.
+What is measured (round-2 bench, addressing round-1's realism notes):
+  * frames are RENDERED multi-depth scenes (tests/render.py billboards,
+    real occlusions and depth structure), not a sine checkerboard;
+  * the batched configuration gives every lane a DISTINCT sequence
+    (per-lane scene seed and camera motion);
+  * a per-stage device-time breakdown (scale space / detect / field /
+    pose solver / matching / depth filter) plus speed-of-light
+    utilisation for the dominant kernels (rebvo_tpu/profiling.py).
 
+Runtime-health protocol: this chip's shared runtime nondeterministically
+drops into a ~80x-degraded execution mode mid-process (gathers worst;
+empirically near-certain within a few hundred steps on realistic frames;
+distinct from the captured-constant trigger in docs/captured_consts.md).
+Every measurement phase therefore runs in its OWN subprocess, bracketed
+by a gather canary, and retries in a fresh process when poisoned — so
+each recorded number comes from a healthy process. Frames are rendered
+once and shared via a tmp file; a persistent XLA compilation cache makes
+retries cheap.
+
+The step includes everything the reference's three threads do per frame
+on the compute path, at EuRoC 752x480 with a 16384-keyline budget.
 Single-sequence steps are serially dependent (the per-frame EKF
 recursion), so per-chip throughput is also measured with a batch of
 independent sequences (vmap) — the deployment configuration for dataset
@@ -20,13 +35,24 @@ processing (SURVEY.md §2.9 data parallelism).
 """
 
 import json
+import os
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CANARY_HEALTHY_MS = 1.0
+BATCH = 16
+CACHE_DIR = "/tmp/jax_bench_cache"
+
 
 def synth_frames(params, n, seed=0):
-    import jax.numpy as jnp
+    """Cheap procedural frames (kept for smoke tests / run_vo
+    --synthetic; the bench itself uses rendered scenes)."""
     H, W = params.ImageHeight, params.ImageWidth
     rng = np.random.RandomState(seed)
     xx, yy = np.meshgrid(np.arange(W, dtype=np.float32),
@@ -40,74 +66,223 @@ def synth_frames(params, n, seed=0):
     return [np.asarray(f) for f in out]
 
 
-def main():
+def _render_lane(args):
+    w, h, zf, cx, cy, n, seed = args
+    from tests.render import render_billboards_seq
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.arange(n) * (0.01 + 0.002 * (seed % 5))
+    return render_billboards_seq(n, width=w, height=h, zf=zf, cx=cx, cy=cy,
+                                 cam_positions=pos, seed=seed, ss=1)
+
+
+def rendered_lanes(params, n_frames, n_lanes):
+    """Distinct rendered sequences, one per lane (parallel workers)."""
+    import concurrent.futures as cf
+    args = [(params.ImageWidth, params.ImageHeight, params.zf_mean,
+             params.PPx, params.PPy, n_frames, seed)
+            for seed in range(n_lanes)]
+    workers = min(os.cpu_count() or 1, 4)
+    with cf.ProcessPoolExecutor(workers) as pool:
+        lanes = list(pool.map(_render_lane, args))
+    return np.stack(lanes)                       # [L, n, H, W]
+
+
+def _make_canary():
     import jax
     import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.rand(360960).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 360960, (16384, 26)).astype(np.int32))
+    gather = jax.jit(lambda t, i: jnp.sum(t[i]))
+
+    def canary_ms():
+        gather(table, idx).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = gather(table, idx)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / 20 * 1e3
+
+    return canary_ms
+
+
+# ---------------------------------------------------------------------------
+# Measurement phases (each runs in its own subprocess)
+# ---------------------------------------------------------------------------
+
+
+def _setup():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from rebvo_tpu.config import REBVOParameters
     from rebvo_tpu.frontend.step import VOFrontend
-
     params = REBVOParameters()
-    fe = VOFrontend(params)
-    frames = [jnp.asarray(f) for f in synth_frames(params, 4)]
+    return params, VOFrontend(params)
 
+
+def phase_serial(lanes):
+    import jax
+    import jax.numpy as jnp
+    params, fe = _setup()
+    frames = [jnp.asarray(lanes[0, i]) for i in range(lanes.shape[1])]
     state = fe.init()
     state = fe.bootstrap(state, frames[0], jnp.asarray(0.0))
-
-    # Warm up / compile.
-    st = state
-    st, out = fe.step(st, frames[1], jnp.asarray(0.05))
+    st, out = fe.step(state, frames[1], jnp.asarray(0.05))
     jax.block_until_ready(st)
-
-    # Serial steps (per-sequence latency).
-    n_iter = 200
+    n_iter = 60
     t0 = time.perf_counter()
     for i in range(n_iter):
-        st, out = fe.step(st, frames[(i + 1) % 3 + 1],
-                          jnp.asarray(0.05 * (i + 2)))
+        st, out = fe.step(st, frames[1 + i % 2], jnp.asarray(0.05 * (i + 2)))
     jax.block_until_ready(st)
-    dt_serial = (time.perf_counter() - t0) / n_iter
-    fps_serial = 1.0 / dt_serial
+    fps = n_iter / (time.perf_counter() - t0)
+    return dict(serial_fps=round(fps, 2), kl_num=int(out.nav.kl_num),
+                klm_num=int(out.nav.klm_num))
 
-    # Batched sequences (throughput/chip): sweep the batch size.
-    fps_batched, best_B = fps_serial, 1
+
+def phase_batched(lanes):
+    import jax
+    import jax.numpy as jnp
+    params, fe = _setup()
+    B = lanes.shape[0]
+    states = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), fe.init())
     stepv = jax.jit(jax.vmap(fe.step_fn))
     bootv = jax.jit(jax.vmap(fe.bootstrap_fn))
-    for B in (4, 8, 16):
-        try:
-            states = jax.tree_util.tree_map(
-                lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(),
-                fe.init())
-            fb = jnp.stack([frames[0]] * B)
-            states = bootv(states, fb, jnp.zeros((B,)))
-            f1 = jnp.stack(frames[1:3] * (B // 2))
-            states, _ = stepv(states, f1, jnp.full((B,), 0.05))
-            jax.block_until_ready(states)
-            n_iter_b = 50
-            t0 = time.perf_counter()
-            for i in range(n_iter_b):
-                states, _ = stepv(states, f1, jnp.full((B,), 0.05 * (i + 2)))
-            jax.block_until_ready(states)
-            dt_b = (time.perf_counter() - t0) / n_iter_b
-            if B / dt_b > fps_batched:
-                fps_batched, best_B = B / dt_b, B
-        except Exception:
-            break
-    B = best_B
+    states = bootv(states, jnp.asarray(lanes[:, 0]), jnp.zeros((B,)))
+    f1, f2 = jnp.asarray(lanes[:, 1]), jnp.asarray(lanes[:, 2])
+    states, _ = stepv(states, f1, jnp.full((B,), 0.05))
+    jax.block_until_ready(states)
+    n_iter = 40
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        states, _ = stepv(states, f1 if i % 2 else f2,
+                          jnp.full((B,), 0.05 * (i + 2)))
+    jax.block_until_ready(states)
+    fps = B * n_iter / (time.perf_counter() - t0)
+    return dict(batched_fps=round(fps, 2), batch=B)
 
+
+def phase_stages(lanes):
+    import jax
+    import jax.numpy as jnp
+    from rebvo_tpu import profiling
+    params, fe = _setup()
+    frames = [jnp.asarray(lanes[0, i]) for i in range(lanes.shape[1])]
+    state = fe.init()
+    state = fe.bootstrap(state, frames[0], jnp.asarray(0.0))
+    st, _ = fe.step(state, frames[1], jnp.asarray(0.05))
+    st, _ = fe.step(st, frames[2], jnp.asarray(0.10))
+    jax.block_until_ready(st)
+    stage_ms = profiling.stage_breakdown(fe, st, frames[1], n=10)
+    sol = profiling.roofline(fe, stage_ms)
+    ca = profiling.step_cost_analysis(fe, st, frames[1])
+    return dict(stage_ms={k: round(v, 4) for k, v in stage_ms.items()},
+                speed_of_light={k: round(v, 4) for k, v in sol.items()},
+                xla_flops_per_step=ca["flops"])
+
+
+PHASES = dict(serial=phase_serial, batched=phase_batched,
+              stages=phase_stages)
+
+
+def child(phase: str, lanes_path: str):
+    lanes = np.load(lanes_path)["lanes"]
+    canary_ms = _make_canary()
+    c0 = canary_ms()
+    result = PHASES[phase](lanes)
+    c1 = canary_ms()
+    healthy = max(c0, c1) < CANARY_HEALTHY_MS
+    result["canary_ms"] = [round(c0, 3), round(c1, 3)]
+    print("PHASE_RESULT " + json.dumps(result))
+    sys.exit(0 if healthy else 3)
+
+
+def run_phase(phase: str, lanes_path: str, attempts: int = 4):
+    env = dict(os.environ)
+    env["REBVO_BENCH_PHASE"] = phase
+    env["REBVO_BENCH_LANES"] = lanes_path
+    last = None
+    for attempt in range(attempts):
+        pr = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env, capture_output=True, text=True,
+                            timeout=1200)
+        for line in pr.stdout.splitlines():
+            if line.startswith("PHASE_RESULT "):
+                last = json.loads(line[len("PHASE_RESULT "):])
+                last["healthy"] = (pr.returncode == 0)
+        if last is not None and pr.returncode == 0:
+            return last
+        print(f"# phase {phase} attempt {attempt}: "
+              f"{'degraded' if last else 'failed'}"
+              f"{'' if last else ': ' + pr.stderr[-800:]}",
+              file=sys.stderr)
+    return last
+
+
+def main():
+    phase = os.environ.get("REBVO_BENCH_PHASE")
+    if phase:
+        child(phase, os.environ["REBVO_BENCH_LANES"])
+        return
+
+    from rebvo_tpu.config import REBVOParameters
+    from rebvo_tpu import profiling
+    params = REBVOParameters()
+    lanes = rendered_lanes(params, 3, BATCH)
+    tmp = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
+    np.savez(tmp.name, lanes=lanes)
+
+    try:
+        serial = run_phase("serial", tmp.name) or {}
+        batched = run_phase("batched", tmp.name) or {}
+        stages = run_phase("stages", tmp.name) or {}
+    finally:
+        os.unlink(tmp.name)
+
+    fps_serial = serial.get("serial_fps", 0.0)
+    fps_batched = batched.get("batched_fps", 0.0)
     fps = max(fps_serial, fps_batched)
+    flops = stages.get("xla_flops_per_step", 0.0)
+    achieved_gflops = flops * fps_serial / 1e9
+    detail = {
+        "serial_fps": fps_serial,
+        "batched_fps": fps_batched,
+        "batch": batched.get("batch", BATCH),
+        "resolution": f"{params.ImageWidth}x{params.ImageHeight}",
+        "keyline_budget": params.KeylineMax,
+        "frames": "rendered billboards, distinct per lane",
+        "kl_num": serial.get("kl_num"), "klm_num": serial.get("klm_num"),
+        "stage_ms": stages.get("stage_ms", {}),
+        "speed_of_light": stages.get("speed_of_light", {}),
+        "xla_flops_per_step": flops,
+        "achieved_gflops_serial": round(achieved_gflops, 2),
+        "mfu_vs_bf16_peak": round(
+            achieved_gflops * 1e9 / profiling.MXU_PEAK_FLOPS_S, 6),
+        "note": "workload is gather/bandwidth-bound, not MXU-bound; "
+                "see speed_of_light for the meaningful utilisation",
+        "phase_health": {
+            "serial": serial.get("healthy"),
+            "batched": batched.get("healthy"),
+            "stages": stages.get("healthy"),
+        },
+        "canaries": {
+            "serial": serial.get("canary_ms"),
+            "batched": batched.get("canary_ms"),
+            "stages": stages.get("canary_ms"),
+        },
+    }
+    try:
+        import jax
+        detail["device"] = str(jax.devices()[0])
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "vo_step_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.0, 2),
-        "detail": {
-            "serial_fps": round(fps_serial, 2),
-            "batched_fps": round(fps_batched, 2),
-            "batch": B,
-            "resolution": f"{params.ImageWidth}x{params.ImageHeight}",
-            "keyline_budget": params.KeylineMax,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 

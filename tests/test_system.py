@@ -30,6 +30,49 @@ def test_recorder_replay_roundtrip(tmp_path):
         np.testing.assert_array_equal(f, frames[i])
 
 
+def test_simulated_clock_deterministic_replay(tmp_path):
+    """TTimer::TurnSimuOn parity: replay under the simulated clock is
+    time-deterministic — the clock is frame-locked, not wall-locked, and
+    two replays observe identical time sequences."""
+    import time
+
+    from rebvo_tpu.io.recorder import SimClock
+    W, H = 16, 12
+    path = str(tmp_path / "rec.rvsim")
+    rec = FrameRecorder(path, W, H)
+    for i in range(5):
+        rec.push(10.0 + 0.05 * i, np.zeros((H, W), np.float32))
+    rec.close()
+
+    def run_once(consumer_delay):
+        clock = SimClock()
+        clock.turn_simu_on(start=-2.0, sweep=3.0, step=1e-3)
+        rep = SimReplay(path, clock=clock)
+        seen = []
+        for t, f in rep:
+            time.sleep(consumer_delay)         # host speed must not matter
+            seen.append((t, clock.now()))
+        rep.close()
+        return seen
+
+    a = run_once(0.0)
+    b = run_once(0.02)
+    assert a == b                              # deterministic across runs
+    # the clock advanced to each frame's timestamp exactly
+    for (t, now) in a:
+        assert now == t
+    # ticking advances by step*sweep
+    clock = SimClock()
+    clock.turn_simu_on(start=0.0, sweep=3.0, step=1e-3)
+    clock.tick(4)
+    assert abs(clock.now() - 0.012) < 1e-12
+    # wall mode still moves with real time
+    wall = SimClock()
+    t0 = wall.now()
+    time.sleep(0.01)
+    assert wall.now() > t0
+
+
 def test_vosystem_vision_only(tmp_path):
     n = 6
     kw = {k: v for k, v in SMALL.items() if k != "z0"}
