@@ -214,20 +214,32 @@ class VOFrontend:
     def _detect_with(self, frame: Array, thresh0: Array, last_kl_num: Array,
                      cam: CameraModel):
         p = self.params
-        if self.use_pallas:
-            from rebvo_tpu.kernels.pallas_scale_space import \
-                build_scale_space_pallas
-            ss = build_scale_space_pallas(frame, p.Sigma0, p.KSigma, 3)
-        else:
-            ss = build_scale_space(frame, p.Sigma0, p.KSigma, 3)
         thresh = update_detector_threshold(
             thresh0, last_kl_num, p.ReferencePoints,
             p.DetectorAutoGain, p.DetectorMaxThresh, p.DetectorMinThresh)
-        klm, mask_img, kl_num = detect_keylines(
-            ss, thresh, K=p.KeylineMax, kl_max=p.MaxPoints,
-            win_s=p.DetectorPlaneFitSize, per_hist=p.DetectorPosNegThresh,
-            dog_thresh=p.DetectorDoGThresh, max_img_value=MAX_IMG_VALUE,
-            cx=cam.cx, cy=cam.cy)
+        if self.use_pallas:
+            # fused frame -> candidates: the scale-space images never
+            # leave VMEM (kernels/pallas_scale_space.py)
+            from rebvo_tpu.kernels.edge_detect import compact_keylines
+            from rebvo_tpu.kernels.pallas_scale_space import \
+                detect_candidates_pallas
+            cand = detect_candidates_pallas(
+                frame, thresh, sigma0=p.Sigma0, k_sigma=p.KSigma,
+                win_s=p.DetectorPlaneFitSize,
+                per_hist=p.DetectorPosNegThresh,
+                dog_thresh=p.DetectorDoGThresh,
+                max_img_value=MAX_IMG_VALUE)
+            klm, mask_img, kl_num = compact_keylines(
+                cand, K=p.KeylineMax, kl_max=p.MaxPoints,
+                cx=cam.cx, cy=cam.cy)
+        else:
+            ss = build_scale_space(frame, p.Sigma0, p.KSigma, 3)
+            klm, mask_img, kl_num = detect_keylines(
+                ss, thresh, K=p.KeylineMax, kl_max=p.MaxPoints,
+                win_s=p.DetectorPlaneFitSize,
+                per_hist=p.DetectorPosNegThresh,
+                dog_thresh=p.DetectorDoGThresh, max_img_value=MAX_IMG_VALUE,
+                cx=cam.cx, cy=cam.cy)
         retuned = re_estimate_thresh(klm, p.TrackPoints, p.QCutOffNumBins)
         return klm, mask_img, kl_num, thresh, retuned
 

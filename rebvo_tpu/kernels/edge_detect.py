@@ -144,10 +144,25 @@ def detect_keylines(
 
     Returns (keyline map, id-mask image [H,W] int32, keyline count).
     """
-    H, W = ss.dog.shape[-2:]
     cand = detect_candidates(ss, win_s, per_hist, grad_thresh, dog_thresh,
                              max_img_value)
+    return compact_keylines(cand, K=K, kl_max=kl_max, cx=cx, cy=cy)
 
+
+@partial(jax.jit, static_argnames=("K", "kl_max"))
+def compact_keylines(
+    cand: EdgeCandidates,
+    *,
+    K: int,
+    kl_max: int,
+    cx: Array,
+    cy: Array,
+) -> Tuple[KeylineMap, Array, Array]:
+    """Compact + chain-link precomputed detector candidates into the
+    fixed keyline SoA (the back half of edge_finder::detect; the per-
+    pixel tests may come from detect_candidates or the fused Pallas
+    kernel, kernels/pallas_scale_space.detect_candidates_pallas)."""
+    H, W = cand.mask.shape[-2:]
     flat = cand.mask.reshape(-1)
     (pix_idx,) = jnp.nonzero(flat, size=K, fill_value=0)
     total = jnp.sum(flat).astype(jnp.int32)
