@@ -192,3 +192,33 @@ def test_stage_timer():
     rep = t.report()
     assert 0.005 < rep["a"] < 0.1
     assert "a=" in str(t)
+
+
+def test_normal_reciprocal_moments():
+    """core/stats.eval_reciprocal (NormalDistribution.h:69-140): for a
+    narrow Gaussian far from zero, 1/X ~ N(1/mu, dev/mu^2) to first
+    order; batching broadcasts."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rebvo_tpu.core.stats import eval_reciprocal, normal_pdf
+
+    mu, dev = 4.0, 0.2
+    mr, dr = eval_reciprocal(jnp.asarray(mu), jnp.asarray(dev), n=10)
+    assert abs(float(mr) - 1.0 / mu) < 0.01
+    # the deviation matches dev/mu^2 up to the coarse-grid truncation
+    # (the reference's r=1 grid only spans +-dev)
+    assert 0.3 * dev / mu**2 < float(dr) < 2.0 * dev / mu**2
+
+    # batched
+    mus = jnp.asarray([2.0, 4.0, 8.0])
+    devs = jnp.asarray([0.1, 0.2, 0.4])
+    mrb, drb = eval_reciprocal(mus, devs)
+    assert mrb.shape == (3,)
+    np.testing.assert_allclose(np.asarray(mrb), 1.0 / np.asarray(mus),
+                               rtol=0.02)
+
+    # pdf sanity: integrates to ~1
+    xs = jnp.linspace(-5, 5, 2001)
+    p = normal_pdf(xs, jnp.asarray(0.0), jnp.asarray(1.0))
+    assert abs(float(jnp.trapezoid(p, xs)) - 1.0) < 1e-3
