@@ -128,12 +128,17 @@ class VOSystem:
                          tsample=jnp.asarray(p.SampleTime, np.float32))
 
     def process_frame(self, frame, t: float,
-                      imu_window: Optional[ImuWindow] = None):
+                      imu_window: Optional[ImuWindow] = None,
+                      frame_pair=None):
         """Process one frame; returns the FrameOutput (None for the
-        bootstrap frame)."""
+        bootstrap frame). `frame_pair` is the synchronized stereo frame
+        when StereoAvaiable (the requestStereoCustomCamBuffer role,
+        rebvo.h:570-585)."""
         jnp = self._jnp
         p = self.params
         frame = jnp.asarray(frame)
+        if frame_pair is not None:
+            frame_pair = jnp.asarray(frame_pair)
         t_prev = float(self.state.t)
 
         if self._reset_requested:
@@ -147,7 +152,7 @@ class VOSystem:
 
         if self.frame_count == 0:
             self.state = self.frontend.bootstrap(self.state, frame,
-                                                 jnp.asarray(t))
+                                                 jnp.asarray(t), frame_pair)
             self.frame_count += 1
             return None
 
@@ -157,10 +162,10 @@ class VOSystem:
                     t_prev + p.TimeDesinc, t + p.TimeDesinc)
             self.state, out = self.frontend.step_imu(
                 self.state, frame, jnp.asarray(t), imu_window,
-                self._R_c2i, self._T_c2i)
+                self._R_c2i, self._T_c2i, frame_pair)
         else:
             self.state, out = self.frontend.step(self.state, frame,
-                                                 jnp.asarray(t))
+                                                 jnp.asarray(t), frame_pair)
         self.frame_count += 1
         self.logger.push(out)
 
@@ -203,9 +208,15 @@ class VOSystem:
     # -- run helpers -----------------------------------------------------
 
     def run_sequence(self, seq) -> RunLogger:
-        """Replay an iterable of (t, frame, imu_window|None)."""
-        for t, frame, win in seq:
-            self.process_frame(frame, t, win)
+        """Replay an iterable of (t, frame, imu_window|None) — or, for a
+        stereo dataset, (t, frame, imu_window|None, frame_pair)."""
+        for item in seq:
+            if len(item) == 4:
+                t, frame, win, pair = item
+            else:
+                t, frame, win = item
+                pair = None
+            self.process_frame(frame, t, win, frame_pair=pair)
         return self.logger
 
     def save_outputs(self, out_dir: str = ".") -> None:

@@ -125,6 +125,20 @@ def test_mono_is_not_metric(stereo_seq):
     assert int(out.stereo_num) == 0
 
 
+def test_stereo_vosystem_api(stereo_seq):
+    """VOSystem.process_frame accepts the stereo pair (the reference's
+    requestStereoCustomCamBuffer role, rebvo.h:570-585)."""
+    from rebvo_tpu.system import VOSystem
+    f0, f1, _, _ = stereo_seq
+    sys_ = VOSystem(params=stereo_params())
+    out = None
+    for i in range(4):
+        out = sys_.process_frame(f0[i], i / 20.0, frame_pair=f1[i])
+    assert out is not None
+    assert int(out.stereo_num) > 500
+    assert bool(out.nav.estimation_ok)
+
+
 def test_stereo_vio_step_runs(stereo_seq):
     """The stereo branch also composes with the visual-inertial step."""
     from rebvo_tpu.frontend.imu import ImuWindow
