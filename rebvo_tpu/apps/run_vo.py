@@ -44,6 +44,11 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: repeat runs skip the 20-40 s compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("REBVO_COMPILE_CACHE",
+                                     "/tmp/rebvo_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -82,6 +87,18 @@ def main(argv=None):
             seq = DatasetSequence.from_params(params)
         stereo = seq.stereo
 
+    # size the device-resident nav-log ring to the run (one end-of-run
+    # fetch; per-frame host syncs are catastrophic on this runtime —
+    # see io/logger.py RunLogger.from_device_log)
+    try:
+        n_total = len(seq)
+        if args.max_frames:
+            n_total = min(n_total, args.max_frames)
+        params = params.replace(
+            NavLogCap=max(params.NavLogCap, n_total + 8))
+    except TypeError:
+        pass
+
     fe = VOFrontend(params)
     umap = build_undistort_map(fe.cam) if params.useUndistort else None
     umap_pair = (build_undistort_map(fe.cam_pair)
@@ -107,7 +124,6 @@ def main(argv=None):
                                  params.ImageWidth, params.ImageHeight)
 
     state = fe.init()
-    logger = RunLogger()
     n_done = 0
     t_start = time.perf_counter()
     for item in seq:
@@ -127,10 +143,8 @@ def main(argv=None):
         elif params.ImuMode and win is not None:
             state, out = fe.step_imu(state, frame, jnp.asarray(t), win,
                                      R_c2i, T_c2i, pair)
-            logger.push(out)
         else:
             state, out = fe.step(state, frame, jnp.asarray(t), pair)
-            logger.push(out)
         if venc is not None:
             venc.push_frame(np.asarray(frame))
             data = venc.pop_frame()
@@ -138,20 +152,27 @@ def main(argv=None):
                 vout.write(t, data, venc.encoder_type)
         n_done += 1
         if n_done % 50 == 0:
-            r = logger.rows[-1]
-            print(f"frame {n_done}: kl={r['kl_num']} match={r['klm_num']} "
-                  f"pos={np.round(r['Pos'], 3)}", flush=True)
+            # progress WITHOUT touching device buffers: any mid-run D2H
+            # fetch stalls and degrades this runtime (io/logger.py)
+            rate = n_done / (time.perf_counter() - t_start)
+            print(f"frame {n_done} ({rate:.0f} fps wall)", flush=True)
         if args.max_frames and n_done >= args.max_frames:
             break
 
+    import jax
+    jax.block_until_ready(state)
     wall = time.perf_counter() - t_start
     if vout is not None:
         vout.close()
+    # ONE bulk fetch of the whole run's nav log
+    logger = RunLogger.from_device_log(state.navlog, state.navlog_n)
     tray = os.path.join(args.out_dir, params.TrayFile)
     logger.write_trajectory(tray)
     logger.write_mfile(os.path.join(args.out_dir, params.LogFile))
+    r = logger.rows[-1] if logger.rows else {}
     print(f"processed {n_done} frames in {wall:.1f}s "
-          f"({n_done / wall:.1f} fps); trajectory -> {tray}")
+          f"({n_done / wall:.1f} fps); kl={r.get('kl_num')} "
+          f"match={r.get('klm_num')}; trajectory -> {tray}")
 
 
 if __name__ == "__main__":

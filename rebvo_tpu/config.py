@@ -209,6 +209,12 @@ class REBVOParameters:
                                    # stages: 1 = on, 0 = off (plain XLA),
                                    # -1 = auto (on when the default backend
                                    # is a TPU)
+    NavLogCap: int = 4096          # device-resident nav-log ring capacity
+                                   # (rows). The step appends one packed row
+                                   # per frame so apps fetch the WHOLE run
+                                   # log in one transfer at the end instead
+                                   # of syncing the device every frame
+                                   # (0 disables the ring)
 
     # ------------------------------------------------------------------
 

@@ -106,6 +106,56 @@ class ImuCarry(NamedTuple):
         )
 
 
+# Packed nav-log row layout (device-resident log ring; one row appended
+# per step so the host fetches the whole run in ONE transfer — per-frame
+# D2H fetches are catastrophically slow on the target runtime, see
+# io/logger.py). Padded to 32 lanes.
+NAVLOG_WIDTH = 32
+NAVLOG_FIELDS = (
+    ("t", 1), ("dt", 1), ("RotLie", 3), ("Vel", 3), ("PoseLie", 3),
+    ("Pos", 3), ("g", 3), ("scale", 1), ("ok", 1), ("kl_num", 1),
+    ("klm_num", 1), ("s_rho_q", 1), ("score", 1), ("stereo_num", 1),
+    ("kf_id", 1), ("kf_back_m", 1), ("kf_saved", 1),
+)
+
+
+def pack_nav_row(out: "FrameOutput") -> Array:
+    nav = out.nav
+    dt = nav.t.dtype
+    parts = [
+        nav.t[None], nav.dt[None], nav.RotLie, nav.Vel, nav.PoseLie,
+        nav.Pos, nav.g, nav.scale[None],
+        nav.estimation_ok.astype(dt)[None], nav.kl_num.astype(dt)[None],
+        nav.klm_num.astype(dt)[None], out.s_rho_q[None], out.score[None],
+        out.stereo_num.astype(dt)[None], out.kf_id.astype(dt)[None],
+        out.kf_back_m.astype(dt)[None], out.kf_saved.astype(dt)[None],
+    ]
+    row = jnp.concatenate(parts)
+    return jnp.pad(row, (0, NAVLOG_WIDTH - row.shape[0]))
+
+
+def unpack_nav_rows(rows) -> list:
+    """Host-side: packed rows -> the RunLogger row-dict schema."""
+    import numpy as np
+    out = []
+    for r in np.asarray(rows):
+        d = {}
+        o = 0
+        for name, w in NAVLOG_FIELDS:
+            d[name] = r[o] if w == 1 else np.asarray(r[o:o + w])
+            o += w
+        out.append(dict(
+            t=float(d["t"]), dt=float(d["dt"]), RotLie=d["RotLie"],
+            Vel=d["Vel"], PoseLie=d["PoseLie"], Pos=d["Pos"], g=d["g"],
+            scale=float(d["scale"]), ok=bool(d["ok"] > 0),
+            kl_num=int(d["kl_num"]), klm_num=int(d["klm_num"]),
+            s_rho_q=float(d["s_rho_q"]), score=float(d["score"]),
+            stereo_num=int(d["stereo_num"]), kf_id=int(d["kf_id"]),
+            kf_back_m=int(d["kf_back_m"]), kf_saved=bool(d["kf_saved"] > 0),
+        ))
+    return out
+
+
 class VOState(NamedTuple):
     """Carry state between frames (one sequence)."""
 
@@ -131,6 +181,8 @@ class VOState(NamedTuple):
     imu: ImuCarry
     kf: "KFCarry"          # active keyframe (1-slot dummy when
                            # TrackKeyFrames is off)
+    navlog: Array          # [NavLogCap, 32] device-resident nav-log ring
+    navlog_n: Array        # int32 rows written (can exceed the cap)
 
 
 class FrameOutput(NamedTuple):
@@ -167,6 +219,8 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
         frame_count=jnp.zeros((), jnp.int32),
         imu=ImuCarry.make(params, dtype),
         kf=KFCarry.empty(K if params.TrackKeyFrames else 1, dtype=dtype),
+        navlog=jnp.zeros((max(params.NavLogCap, 1), NAVLOG_WIDTH), dtype),
+        navlog_n=jnp.zeros((), jnp.int32),
     )
 
 
@@ -449,17 +503,18 @@ class VOFrontend:
             g=jnp.zeros((3,), dt_f), scale=K_scale,
             estimation_ok=est_ok, kl_num=kl_num, klm_num=klm_num)
 
+        out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=mres.score,
+                          rel_error=mres.rel_error, stereo_num=stereo_num,
+                          kf_id=kf_id, kf_back_m=kf_back_m,
+                          kf_saved=kf_saved)
+        navlog, navlog_n = self._log_nav(state, out)
         new_state = VOState(
             klm=new_final, mask_img=new_mask, field_img=field_img,
             thresh=thresh, retuned=retuned, last_kl_num=kl_num,
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
             Vel=V_out, W0=W, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose,
             Pos=Pos, t=t, frame_count=state.frame_count + 1, imu=state.imu,
-            kf=kf_carry)
-        out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=mres.score,
-                          rel_error=mres.rel_error, stereo_num=stereo_num,
-                          kf_id=kf_id, kf_back_m=kf_back_m,
-                          kf_saved=kf_saved)
+            kf=kf_carry, navlog=navlog, navlog_n=navlog_n)
         return new_state, out
 
     # ------------------------------------------------------------------
@@ -633,20 +688,31 @@ class VOFrontend:
             Bg=Bg, W_Bg=W_Bg, Vg=Vg, X7=X7, P7=P7, u_est=u_est,
             g_est=g_est, b_est=b_est, windows=win2, Posgv=Posgv)
 
+        out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=vres.score,
+                          rel_error=jnp.zeros((), dt_f),
+                          stereo_num=stereo_num, kf_id=kf_id,
+                          kf_back_m=kf_back_m, kf_saved=kf_saved)
+        navlog, navlog_n = self._log_nav(state, out)
         new_state = VOState(
             klm=new_final, mask_img=new_mask, field_img=field_img,
             thresh=thresh, retuned=retuned, last_kl_num=kl_num,
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
             Vel=V_out, W0=dWgv, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale,
             Pose=Pose, Pos=Pos, t=t, frame_count=state.frame_count + 1,
-            imu=imu_carry, kf=kf_carry)
-        out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=vres.score,
-                          rel_error=jnp.zeros((), dt_f),
-                          stereo_num=stereo_num, kf_id=kf_id,
-                          kf_back_m=kf_back_m, kf_saved=kf_saved)
+            imu=imu_carry, kf=kf_carry, navlog=navlog, navlog_n=navlog_n)
         return new_state, out
 
     # ------------------------------------------------------------------
+
+    def _log_nav(self, state: VOState, out: "FrameOutput"):
+        """Append the packed nav row to the device-resident log ring."""
+        if self.params.NavLogCap <= 0:
+            return state.navlog, state.navlog_n
+        cap = state.navlog.shape[0]
+        row = pack_nav_row(out)
+        navlog = jax.lax.dynamic_update_slice(
+            state.navlog, row[None], (state.navlog_n % cap, 0))
+        return navlog, state.navlog_n + 1
 
     def _kf_track(self, state: VOState, klm: KeylineMap, fv, Pose, Pos,
                   K_scale, kl_num, s_rho_q, est_ok):

@@ -65,6 +65,36 @@ class RunLogger:
         self._drain()
         return self._rows
 
+    @staticmethod
+    def from_device_log(navlog, navlog_n) -> "RunLogger":
+        """Build a logger from a VOState's device-resident nav-log ring
+        (frontend/step.py NAVLOG_*): ONE bulk device transfer for the
+        whole run. This is the throughput path — on the target runtime a
+        D2H fetch issued between steps costs seconds and permanently
+        degrades the process (see bench.py's runtime-health notes), so
+        apps log on device and fetch once at the end."""
+        import jax
+        import jax.numpy as jnp
+
+        from rebvo_tpu.core.geometry import so3_exp
+        from rebvo_tpu.frontend.step import unpack_nav_rows
+        n = int(navlog_n)
+        cap = navlog.shape[0]
+        host = np.asarray(navlog)                # one transfer
+        if n <= cap:
+            host = host[:n]
+        else:                                    # ring wrapped: oldest first
+            k = n % cap
+            host = np.concatenate([host[k:], host[:k]])
+        lg = RunLogger()
+        lg._rows = unpack_nav_rows(host)
+        if lg._rows:
+            PL = jnp.asarray(np.stack([r["PoseLie"] for r in lg._rows]))
+            Poses = np.asarray(jax.vmap(so3_exp)(PL))
+            for r, P in zip(lg._rows, Poses):
+                r["Pose"] = P
+        return lg
+
     def __len__(self) -> int:
         return len(self._pending) + len(self._rows)
 
