@@ -1,0 +1,280 @@
+"""Golden head-to-head parity harness against the built reference binary.
+
+The north-star metric is "match the reference trajectory within its ATE
+bound" — this app measures it directly:
+
+  1. renders synthetic sequences (multi-depth billboard scenes with real
+     occlusions, `rebvo_tpu.io.render`) and writes them as a
+     DataSetCam-format dataset (PNG frames + `timestamp_ns,filename`
+     list — the reference's deterministic replay path,
+     reference src/VideoLib/datasetcam.cpp:172-191: frames are pulled at
+     pipeline speed with CSV timestamps, no wall-clock dependence);
+  2. generates a single GlobalConfig (config.dump_config emits every
+     mandatory key of reference src/rebvo/rebvo.cpp:53-221) consumed by
+     BOTH the reference `rebvorun` binary and this repo's run_vo;
+  3. runs the reference binary (stdin fed a keystroke trickle so its
+     interactive loop, reference app/rebvorun/main.cpp:92-125, re-checks
+     Running() and exits at dataset end) and collects its TUM-format
+     `rebvo_tray.txt` (reference src/rebvo/rebvo_third_t.cpp:311);
+  4. runs this repo's VO on the same frames + config;
+  5. reports ATE(repo vs GT), ATE(ref vs GT) and ATE(repo vs ref) per
+     sequence — Umeyama Sim(3) alignment, since monocular VO has gauge
+     freedom — into PARITY_rNN.json.
+
+The reference binary links libv4l2, absent in this container; build
+`native/libv4l2.so.0` (make -C native) and this app points
+LD_LIBRARY_PATH at it — the stub is never called under DataSetCam.
+
+Usage:
+    python -m rebvo_tpu.apps.parity --out-dir /tmp/rebvo_parity \
+        --json PARITY_r03.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+REF_BINARY = "/root/reference/app/rebvorun/rebvorun"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+# camera used for all parity scenes (distortion-free so UseUndistort=0
+# on both sides and the PNG pixels are the whole story)
+W, H, ZF, CX, CY = 752, 480, 400.0, 376.0, 240.0
+FPS = 20.0
+
+
+def _traj(kind: str, n: int):
+    """Smooth camera paths with parallax + gentle rotation; returns
+    (positions [n,3] world, rotations [n,3,3] world-from-camera)."""
+    t = np.linspace(0.0, 1.0, n)
+    pos = np.zeros((n, 3))
+    yaw = np.zeros(n)
+    pitch = np.zeros(n)
+    if kind == "lateral_arc":
+        pos[:, 0] = 0.45 * np.sin(np.pi * t)
+        pos[:, 1] = 0.12 * np.sin(2 * np.pi * t)
+        pos[:, 2] = 0.25 * t
+        yaw = 0.10 * np.sin(np.pi * t)
+    elif kind == "dolly":
+        pos[:, 2] = 0.9 * t
+        pos[:, 0] = 0.15 * np.sin(2 * np.pi * t)
+        pitch = 0.05 * np.sin(2 * np.pi * t)
+    elif kind == "loop":
+        pos[:, 0] = 0.35 * np.sin(2 * np.pi * t)
+        pos[:, 1] = 0.18 * (1 - np.cos(2 * np.pi * t))
+        pos[:, 2] = 0.30 * np.sin(np.pi * t)
+        yaw = 0.08 * np.sin(2 * np.pi * t)
+    else:
+        raise ValueError(kind)
+    rot = np.empty((n, 3, 3))
+    for i in range(n):
+        cy_, sy = np.cos(yaw[i]), np.sin(yaw[i])
+        cp, sp = np.cos(pitch[i]), np.sin(pitch[i])
+        Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        rot[i] = Ry @ Rx
+    return pos, rot
+
+
+def render_dataset(seq_dir: str, kind: str, n_frames: int, seed: int):
+    """Render + write one DataSetCam dataset; returns GT positions."""
+    from PIL import Image
+
+    from rebvo_tpu.io.render import render_billboards_seq
+
+    data_dir = os.path.join(seq_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    pos, rot = _traj(kind, n_frames)
+    frames = render_billboards_seq(
+        n_frames, width=W, height=H, zf=ZF, cx=CX, cy=CY, seed=seed,
+        cam_positions=pos, cam_rotations=rot)
+    lines = []
+    for i in range(n_frames):
+        # 8-bit grayscale PNG; both sides read it back as r+g+b = 3*v
+        g = np.clip(frames[i] / 3.0, 0, 255).astype(np.uint8)
+        name = f"{i:06d}.png"
+        Image.fromarray(g, mode="L").save(os.path.join(data_dir, name))
+        t_ns = int(round(i / FPS * 1e9))
+        lines.append(f"{t_ns},{name}")
+    with open(os.path.join(seq_dir, "data.csv"), "w") as fh:
+        fh.write("#timestamp [ns],filename\n" + "\n".join(lines) + "\n")
+    np.savetxt(os.path.join(seq_dir, "gt_pos.txt"), pos)
+    return pos
+
+
+def parity_params(seq_dir: str):
+    from rebvo_tpu.config import REBVOParameters
+    return REBVOParameters().replace(
+        ZfX=ZF, ZfY=ZF, PPx=CX, PPy=CY,
+        KcR2=0.0, KcR4=0.0, KcR6=0.0, KcP1=0.0, KcP2=0.0,
+        ImageWidth=W, ImageHeight=H, config_fps=FPS, soft_fps=FPS,
+        useUndistort=0, rotatedCam=0,
+        CameraType=2, VideoNetEnabled=0, VideoSave=0, SaveLog=1,
+        EncoderType=1, TrackKeyFrames=0,
+        DataSetDir=os.path.join(seq_dir, "data") + "/",
+        DataSetFile=os.path.join(seq_dir, "data.csv"),
+        CamTimeScale=1e-9,
+        ImuMode=0, ImuTimeScale=1.0,   # tray t stays in seconds
+        StereoAvaiable=0,
+        cpuSetAffinity=0,              # container has 2 cores; affinity
+                                       # failure aborts the reference
+    )
+
+
+def run_reference(seq_dir: str, timeout: float = 600.0):
+    """Run the reference binary on the dataset; returns (positions,
+    wall_seconds) or (None, log) on failure."""
+    from rebvo_tpu.config import save_config
+    cfg = os.path.join(seq_dir, "GlobalConfig_parity")
+    save_config(parity_params(seq_dir), cfg)
+    env = dict(os.environ)
+    env["LD_LIBRARY_PATH"] = (os.path.join(REPO_ROOT, "native") +
+                              ":" + env.get("LD_LIBRARY_PATH", ""))
+    t0 = time.perf_counter()
+    proc = subprocess.Popen(
+        [REF_BINARY, cfg], cwd=seq_dir, env=env,
+        stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE)
+
+    def feeder():
+        # the reference main loop blocks on `std::cin >> c` between
+        # Running() checks; trickle keystrokes until it exits
+        try:
+            while proc.poll() is None:
+                proc.stdin.write(b"x\n")
+                proc.stdin.flush()
+                time.sleep(0.2)
+        except (BrokenPipeError, OSError):
+            pass
+
+    th = threading.Thread(target=feeder, daemon=True)
+    th.start()
+    try:
+        _, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        return None, f"reference binary timed out after {timeout}s"
+    wall = time.perf_counter() - t0
+    tray = os.path.join(seq_dir, "rebvo_tray.txt")
+    if not os.path.exists(tray):
+        return None, (f"no trajectory written (exit {proc.returncode}); "
+                      f"stderr: {err.decode(errors='replace')[-500:]}")
+    rows = np.loadtxt(tray)
+    if rows.ndim != 2 or rows.shape[0] < 10:
+        return None, f"trajectory too short: shape {rows.shape}"
+    return rows[:, 1:4], wall
+
+
+def run_repo(seq_dir: str, timeout: float = 1800.0):
+    """Run this repo's VO (CPU backend, subprocess for isolation);
+    returns (positions, wall_seconds)."""
+    out_dir = os.path.join(seq_dir, "repo_out")
+    cfg = os.path.join(seq_dir, "GlobalConfig_parity")
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", "rebvo_tpu.apps.run_vo", "--config", cfg,
+         "--cpu", "--out-dir", out_dir],
+        cwd=REPO_ROOT, capture_output=True, text=True, timeout=timeout)
+    wall = time.perf_counter() - t0
+    tray = os.path.join(out_dir, "rebvo_tray.txt")
+    if r.returncode != 0 or not os.path.exists(tray):
+        raise RuntimeError(f"run_vo failed ({r.returncode}):\n"
+                           f"{r.stdout[-800:]}\n{r.stderr[-800:]}")
+    rows = np.loadtxt(tray)
+    return rows[:, 1:4], wall
+
+
+def _resample(P: np.ndarray, n: int) -> np.ndarray:
+    """Linear index resample of a trajectory to n rows (the two systems
+    may log a few frames more or fewer at the boundaries)."""
+    if len(P) == n:
+        return P
+    src = np.linspace(0, len(P) - 1, n)
+    i0 = np.floor(src).astype(int)
+    i1 = np.minimum(i0 + 1, len(P) - 1)
+    w = (src - i0)[:, None]
+    return P[i0] * (1 - w) + P[i1] * w
+
+
+def evaluate_sequence(seq_dir, kind, n_frames, seed, skip_ref=False):
+    from rebvo_tpu.io.trajectory import ate_rmse
+
+    print(f"[{kind}] rendering {n_frames} frames ...", flush=True)
+    gt = render_dataset(seq_dir, kind, n_frames, seed)
+    res = {"sequence": kind, "n_frames": n_frames, "seed": seed}
+
+    ref_pos = None
+    if not skip_ref:
+        print(f"[{kind}] running reference binary ...", flush=True)
+        ref_pos, ref_info = run_reference(seq_dir)
+        if ref_pos is None:
+            res["reference_error"] = ref_info
+            print(f"[{kind}] reference FAILED: {ref_info}", flush=True)
+        else:
+            res["ref_wall_s"] = round(ref_info, 2)
+            res["ref_fps"] = round(len(ref_pos) / ref_info, 1)
+
+    print(f"[{kind}] running repo VO ...", flush=True)
+    repo_pos, repo_wall = run_repo(seq_dir)
+    res["repo_wall_s"] = round(repo_wall, 2)
+
+    # skip the bootstrap frames both systems spend converging depth
+    warm = min(40, n_frames // 4)
+    gt_w = gt[warm:]
+    repo_w = _resample(repo_pos, n_frames)[warm:]
+    res["ate_repo_vs_gt"] = float(ate_rmse(repo_w, gt_w, with_scale=True))
+    if ref_pos is not None:
+        ref_w = _resample(ref_pos, n_frames)[warm:]
+        res["ate_ref_vs_gt"] = float(ate_rmse(ref_w, gt_w, with_scale=True))
+        res["ate_repo_vs_ref"] = float(
+            ate_rmse(repo_w, ref_w, with_scale=True))
+        res["repo_beats_ref"] = bool(
+            res["ate_repo_vs_gt"] <= res["ate_ref_vs_gt"])
+    print(f"[{kind}] {json.dumps({k: v for k, v in res.items() if 'ate' in k})}",
+          flush=True)
+    return res
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out-dir", default="/tmp/rebvo_parity")
+    ap.add_argument("--json", default=os.path.join(REPO_ROOT,
+                                                   "PARITY_r03.json"))
+    ap.add_argument("--n-frames", type=int, default=240)
+    ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--seqs", default="lateral_arc,dolly,loop")
+    args = ap.parse_args(argv)
+
+    results = []
+    for i, kind in enumerate(args.seqs.split(",")):
+        seq_dir = os.path.join(args.out_dir, kind)
+        os.makedirs(seq_dir, exist_ok=True)
+        results.append(evaluate_sequence(seq_dir, kind, args.n_frames,
+                                         seed=7 + 13 * i,
+                                         skip_ref=args.skip_ref))
+
+    ok = [r for r in results if "ate_ref_vs_gt" in r]
+    summary = {
+        "date": time.strftime("%Y-%m-%d"),
+        "reference_binary": REF_BINARY,
+        "sequences": results,
+        "n_compared": len(ok),
+        "repo_beats_ref_all": bool(ok) and all(r["repo_beats_ref"]
+                                               for r in ok),
+    }
+    with open(args.json, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

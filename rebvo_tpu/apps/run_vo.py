@@ -129,9 +129,12 @@ def main(argv=None):
     for item in seq:
         if stereo:
             t, frame, win, pair = item
-            pair = jnp.asarray(pair)
-            if umap_pair is not None:
-                pair = apply_undistort(umap_pair, pair)
+            # pair is None when the cam1 stream dropped this frame
+            # (dataset pairing gap threshold) — run the frame mono.
+            if pair is not None:
+                pair = jnp.asarray(pair)
+                if umap_pair is not None:
+                    pair = apply_undistort(umap_pair, pair)
         else:
             t, frame, win = item
             pair = None

@@ -342,3 +342,85 @@ def params_from_entries(
 def load_config(path: str, strict: bool = False) -> REBVOParameters:
     with open(path) as fh:
         return params_from_entries(parse_config_text(fh.read()), strict=strict)
+
+
+# Section layout for dump_config: every reference-queried (section, key)
+# (the mandatory set of reference src/rebvo/rebvo.cpp:53-221) maps to a
+# dataclass field; extra repo-only keys go to their own sections, which
+# the reference Configurator parses and ignores.
+_SECTION_FIELDS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
+    ("Detector", ("Sigma0", "KSigma", "ReferencePoints", "MaxPoints",
+                  "TrackPoints", "DetectorThresh", "DetectorAutoGain",
+                  "DetectorMaxThresh", "DetectorMinThresh",
+                  "DetectorPlaneFitSize", "DetectorPosNegThresh",
+                  "DetectorDoGThresh")),
+    ("TrackMaper", ("SearchRange", "QCutOffNumBins", "QCutOffQuantile",
+                    "TrackerIterNum", "TrackerInitType",
+                    "TrackerInitIterNum", "TrackerMatchThresh",
+                    "MatchThreshModule", "MatchThreshAngle",
+                    "MatchNumThresh", "ReweigthDistance",
+                    "RegularizeThresh", "LocationUncertaintyMatch",
+                    "ReshapeQAbsolute", "ReshapeQRelative",
+                    "LocationUncertainty", "DoReScaling",
+                    "GlobalMatchThreshold")),
+    ("Camera", ("CameraDevice", "ZfX", "ZfY", "PPx", "PPy", "KcR2", "KcR4",
+                "KcR6", "KcP1", "KcP2", "ImageWidth", "ImageHeight",
+                "config_fps", "soft_fps", "useUndistort", "rotatedCam")),
+    ("REBVO", ("CameraType", "VideoNetHost", "VideoNetPort", "BlockingUDP",
+               "VideoNetEnabled", "VideoSave", "VideoSaveFile",
+               "VideoSaveBuffersize", "EncoderType", "EncoderDevice",
+               "EdgeMapDelay", "SaveLog", "LogFile", "TrayFile",
+               "StereoAvaiable", "TrackKeyFrames", "KFSavePercent")),
+    ("DataSetCamera", ("DataSetDir", "DataSetFile", "DataSetDirStereo",
+                       "DataSetFileStereo", "CamTimeScale")),
+    ("IMU", ("ImuMode", "ImuFile", "CamImuSE3File", "ImuTimeScale",
+             "TimeDesinc", "InitBias", "InitBiasFrameNum", "BiasHintX",
+             "BiasHintY", "BiasHintZ", "GiroMeasStdDev", "GiroBiasStdDev",
+             "AcelMeasStdDev", "g_module", "g_module_uncer", "g_uncert",
+             "VBiasStdDev", "ScaleStdDevMult", "ScaleStdDevMax",
+             "ScaleStdDevInit", "CircBufferSize", "SampleTime",
+             "DeviceName")),
+    ("Stereo", ("StereoZfX", "StereoZfY", "StereoPPx", "StereoPPy",
+                "StereoKcR2", "StereoKcR4", "StereoKcR6", "StereoKcP1",
+                "StereoKcP2", "StereoSE3File", "StereoR11", "StereoR12",
+                "StereoR13", "StereoR21", "StereoR22", "StereoR23",
+                "StereoR31", "StereoR32", "StereoR33", "StereoTx",
+                "StereoTy", "StereoTz")),
+    ("SimuCamera", ("SimVideoFile", "SimVideoNFrames", "SimuTimeOn",
+                    "SimuTimeSweep", "SimuTimeStep", "SimuTimeStart")),
+    ("ProcesorConfig", ("cpuSetAffinity", "cpu0", "cpu1", "cpu2")),
+    ("TPU", ("KeylineMax", "MatchMaxSteps", "StereoSearchRange",
+             "StereoMatchMaxSteps", "KFDistThresh", "KFChainSteps",
+             "KFAugIters", "KFAlignMaxRot", "KFAlignMaxTrans",
+             "MatchFieldStride", "FieldRadius", "MeshDataAxis",
+             "UseBf16Images", "UsePallas", "NavLogCap")),
+)
+
+_FIELD_TO_KEY: Dict[str, Tuple[str, str]] = {
+    fname: (section, key) for (section, key), fname in _KEY_ALIASES.items()
+}
+
+
+def dump_config(params: REBVOParameters) -> str:
+    """Serialize parameters to the reference config format — the exact
+    file a reference `rebvorun` accepts (all mandatory keys of
+    rebvo.cpp:53-221 present; repo-only keys in extra sections the
+    reference's Configurator parses and ignores)."""
+    out = ["// REBVO configuration (generated by rebvo_tpu)"]
+    for section, fnames in _SECTION_FIELDS:
+        out.append(f"\n&{section}\n")
+        for fname in fnames:
+            sec_key = _FIELD_TO_KEY.get(fname, (section, fname))
+            key = sec_key[1]
+            val = getattr(params, fname)
+            if isinstance(val, float):
+                sval = repr(val)
+            else:
+                sval = str(val)
+            out.append(f"    {key}={sval}")
+    return "\n".join(out) + "\n"
+
+
+def save_config(params: REBVOParameters, path: str) -> None:
+    with open(path, "w") as fh:
+        fh.write(dump_config(params))

@@ -189,8 +189,6 @@ def correct_and_augment(kf: KFCarry, klm: KeylineMap, Pose: Array,
     forward chains through the inverted back matches, epipolar
     correct + augment + prune in both directions. Returns the updated
     (kf map m_id_f, frame map m_id_kf, fow_m, back_m)."""
-    K_kf = kf.klm.K
-
     # --- backward direction: frame keylines -> KF map -------------------
     # E_back from R = kf.Pose^T Pose, t = Pose^T (kf.Pos - Pos)
     # (correctAugmentate, kfvo.cpp:893-897).
@@ -207,11 +205,16 @@ def correct_and_augment(kf: KFCarry, klm: KeylineMap, Pose: Array,
     back_m = jnp.sum(m_kf >= 0).astype(jnp.int32)
 
     # --- forward direction: KF keylines -> frame map --------------------
-    # (forwardCorrectAugmentate, kfvo.cpp:969-1041).
+    # (forwardCorrectAugmentate, kfvo.cpp:969-1041). The KF's stored
+    # forward matches point at the PREVIOUS frame's map; rebuild them for
+    # this frame by composing with the inverted new->old back matches,
+    # the reference's per-frame buildForwardMatch (kfvo.cpp:739-771,
+    # called each frame at rebvo_second_t.cpp:432).
     R_f = Pose.T @ kf.Pose
     t_f = kf.Pose.T @ (Pos - kf.Pos)
     E_f = essential_matrix(R_f, t_f)
-    m_f = kf.klm.m_id_f
+    inv_old_to_new = invert_matches(klm.m_id, klm.valid, klm.K)
+    m_f = build_forward_match(kf.klm.m_id_f, kf.klm.valid, inv_old_to_new)
     m_f, _ = chain_correct(kf.klm.px, kf.klm.py, m_f, klm, E_f, zfm,
                            chain_steps)
     m_f = augment_matches(m_f, kf.klm.p_id, kf.klm.n_id, aug_iters)
@@ -279,7 +282,10 @@ def track_keyframe(
     # --- keyframe switch (rebvo_second_t.cpp:591-596) --------------------
     limit = (jnp.minimum(jnp.asarray(p.TrackPoints, jnp.int32),
                          kl_num).astype(dt) * p.KFSavePercent)
-    save = (~have_kf) | (run & (back_m.astype(dt) < limit))
+    # the initial keyframe is also gated on estimation health — the
+    # reference pushes only inside the match-success branch
+    # (rebvo_second_t.cpp:423-444), so a failed frame never anchors.
+    save = (enabled & ~have_kf) | (run & (back_m.astype(dt) < limit))
 
     ar = jnp.arange(klm.K, dtype=jnp.int32)
     neg = jnp.full((klm.K,), -1, jnp.int32)

@@ -142,15 +142,30 @@ class DatasetSequence:
                         if imu is not None else None)
         # stereo pair frames, aligned to `records` by timestamp (EuRoC
         # cam0/cam1 are hardware-synchronised; the reference warns and
-        # drops on mismatch, rebvo_first_t.cpp:185-200 — here mismatched
-        # frames pair with the nearest-in-time pair frame).
+        # drops on mismatch, rebvo_first_t.cpp:185-200). A frame whose
+        # nearest pair frame is more than half the frame period away
+        # gets no pair (None) instead of silently fusing stereo depth
+        # across a temporal gap.
         self.records_pair = None
         if records_pair:
             pair_ts = np.asarray([r.t for r in records_pair])
+            cam_ts = np.asarray([r.t for r in records])
+            max_dt = (np.inf if len(cam_ts) < 2 else
+                      0.5 * float(np.median(np.diff(cam_ts))))
             self.records_pair = []
+            warned = False
             for r in records:
                 j = int(np.argmin(np.abs(pair_ts - r.t)))
-                self.records_pair.append(records_pair[j])
+                if abs(pair_ts[j] - r.t) > max_dt:
+                    if not warned:
+                        import warnings
+                        warnings.warn(
+                            "stereo pair stream has temporal dropouts; "
+                            "unmatched frames run mono")
+                        warned = True
+                    self.records_pair.append(None)
+                else:
+                    self.records_pair.append(records_pair[j])
 
     @property
     def stereo(self) -> bool:
@@ -167,7 +182,8 @@ class DatasetSequence:
 
         def load(i):
             frame = load_frame(self.records[i].path)
-            if self.records_pair is not None:
+            if self.records_pair is not None and \
+                    self.records_pair[i] is not None:
                 return frame, load_frame(self.records_pair[i].path)
             return frame, None
 

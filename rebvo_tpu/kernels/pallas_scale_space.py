@@ -242,9 +242,13 @@ def detect_candidates_pallas(img: Array, grad_thresh: Array, *,
                      k_sigma=k_sigma, box_n=box_n, win_s=win_s,
                      per_hist=per_hist, dog_thresh=dog_thresh,
                      max_img_value=max_img_value, interpret=interpret)
+        # broadcast a scalar/unbatched grad_thresh across the image's
+        # leading batch axes instead of vmapping it with in_axes=0
+        thresh_b = jnp.broadcast_to(jnp.asarray(grad_thresh, jnp.float32),
+                                    img.shape[:-2])
         for _ in range(img.ndim - 2):
             fn = jax.vmap(fn)
-        return fn(img, grad_thresh)
+        return fn(img, thresh_b)
     sizes0, sizes1, _, _ = scale_space_plan(sigma0, k_sigma, box_n)
     H, W = img.shape
     shape = jax.ShapeDtypeStruct((H, W), jnp.float32)
