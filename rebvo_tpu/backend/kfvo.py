@@ -71,6 +71,11 @@ class KFAlignResult(NamedTuple):
     W0: Array
     m_id_f: Array
     score: Array
+    RVel: Array   # [3,3] covariance of the translation increment
+    RW0: Array    # [3,3] covariance of the rotation increment
+                  # (JtJ^-1 slices, the reference's covariance return,
+                  # global_tracker.cpp:796-805) — feed the innovation
+                  # chi^2 acceptance gate in frontend/kf_tracking.py
 
 
 def align_to_keyframe(
@@ -99,7 +104,8 @@ def align_to_keyframe(
     R_new = dR @ R_prior
     t_new = dR @ t_prior + res.Vel
     return KFAlignResult(R=R_new, t=t_new, Vel=res.Vel, W0=res.W0,
-                         m_id_f=res.m_id_f, score=res.score)
+                         m_id_f=res.m_id_f, score=res.score,
+                         RVel=res.RVel, RW0=res.RW0)
 
 
 def refine_keyframe_depths(

@@ -190,9 +190,19 @@ class REBVOParameters:
     KFDistThresh: float = 10.0     # epipolar prune distance (px)
     KFChainSteps: int = 6          # chain-descent steps per correction
     KFAugIters: int = 4            # match-propagation iterations
-    KFAlignMaxRot: float = 0.1     # max accepted KF re-anchor rotation (rad)
-    KFAlignMaxTrans: float = 0.5   # max accepted KF re-anchor translation
-                                   # (VO gauge units)
+    # KF pose re-anchor acceptance: an innovation chi^2 gate. The
+    # correction dX=[dV;dW] between the dead-reckoned pose and the
+    # KF-aligned pose is accepted iff its Mahalanobis norm under
+    # S = age * diag(KFDriftTransStd^2, KFDriftRotStd^2) + Cov(align)
+    # passes the 6-dof 99.9% quantile, AND the alignment itself is
+    # well-conditioned (its own covariance below the caps) — degenerate
+    # geometry (stale KF out of view, textureless frame) produces a
+    # near-singular JtJ and is rejected by the caps, while a bogus
+    # large correction (e.g. wrong-scale prior) fails the chi^2.
+    KFDriftRotStd: float = 2e-3    # dead-reckoning rot drift (rad/frame)
+    KFDriftTransStd: float = 8e-3  # trans drift (VO gauge units/frame)
+    KFAlignRotUncertMax: float = 0.02   # max sqrt(tr RW0) accepted (rad)
+    KFAlignTransUncertMax: float = 0.10  # max sqrt(tr RVel) accepted
     MatchFieldStride: int = 4      # directed matching samples the cached
                                    # match field at this pixel stride
                                    # (0 = probe the exact 1px id mask)
@@ -391,7 +401,8 @@ _SECTION_FIELDS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("ProcesorConfig", ("cpuSetAffinity", "cpu0", "cpu1", "cpu2")),
     ("TPU", ("KeylineMax", "MatchMaxSteps", "StereoSearchRange",
              "StereoMatchMaxSteps", "KFDistThresh", "KFChainSteps",
-             "KFAugIters", "KFAlignMaxRot", "KFAlignMaxTrans",
+             "KFAugIters", "KFDriftRotStd", "KFDriftTransStd",
+             "KFAlignRotUncertMax", "KFAlignTransUncertMax",
              "MatchFieldStride", "FieldRadius", "MeshDataAxis",
              "UseBf16Images", "UsePallas", "NavLogCap")),
 )

@@ -61,6 +61,9 @@ class KFCarry(NamedTuple):
     Pose: Array        # [3,3] keyframe global rotation
     Pos: Array         # [3] keyframe global position
     count: Array       # int32 — keyframes pushed so far (0 = none yet)
+    age: Array         # int32 — frames since this keyframe was pushed
+                       # (scales the dead-reckoning drift budget of the
+                       # re-anchor chi^2 gate)
 
     @staticmethod
     def empty(K: int, dtype=jnp.float32) -> "KFCarry":
@@ -68,7 +71,8 @@ class KFCarry(NamedTuple):
             klm=KeylineMap.empty(K, dtype=dtype),
             Pose=jnp.eye(3, dtype=dtype),
             Pos=jnp.zeros((3,), dtype),
-            count=jnp.zeros((), jnp.int32))
+            count=jnp.zeros((), jnp.int32),
+            age=jnp.zeros((), jnp.int32))
 
 
 class KFTrackResult(NamedTuple):
@@ -266,13 +270,33 @@ def track_keyframe(
         max_s_rho=s_rho_q, match_thresh=p.TrackerMatchThresh,
         k_huber=p.ReweigthDistance, iter_max=p.TrackerIterNum,
         init_iter=p.TrackerInitIterNum)
-    # accept only a small, finite correction backed by enough matches
+    # --- innovation chi^2 acceptance ---------------------------------
+    # Under H0 (dead reckoning and alignment both healthy) the
+    # correction dX = [dV; dW] is distributed with covariance
+    # S = age * Q_drift + Cov(align): a per-frame random-walk drift
+    # budget plus the alignment's own JtJ^-1. Accept iff the Mahalanobis
+    # norm passes the 6-dof 99.9% quantile AND the alignment is
+    # well-conditioned (covariance trace caps) — a near-singular JtJ
+    # (stale KF out of view, textureless frame) fails the caps; a
+    # confidently-wrong large correction (wrong-scale prior) fails the
+    # chi^2 against the drift budget.
     dW = ares.W0
     dV = ares.Vel
-    finite = jnp.all(jnp.isfinite(dW)) & jnp.all(jnp.isfinite(dV))
-    small = (jnp.linalg.norm(dW) < p.KFAlignMaxRot) & \
-        (jnp.linalg.norm(dV) < p.KFAlignMaxTrans)
-    align_ok = run & finite & small & \
+    finite = jnp.all(jnp.isfinite(dW)) & jnp.all(jnp.isfinite(dV)) & \
+        jnp.all(jnp.isfinite(ares.RVel)) & jnp.all(jnp.isfinite(ares.RW0))
+    age_f = jnp.maximum(kf.age, 1).astype(dt)
+    q = jnp.concatenate([
+        jnp.full((3,), p.KFDriftTransStd ** 2, dt),
+        jnp.full((3,), p.KFDriftRotStd ** 2, dt)]) * age_f
+    C = jnp.zeros((6, 6), dt)
+    C = C.at[:3, :3].set(ares.RVel).at[3:, 3:].set(ares.RW0)
+    S = C + jnp.diag(q)
+    dX = jnp.concatenate([dV, dW])
+    chi2 = dX @ jnp.linalg.solve(S, dX)
+    CHI2_6_999 = 22.458                       # chi^2 6-dof 0.999 quantile
+    conditioned = (jnp.trace(ares.RW0) < p.KFAlignRotUncertMax ** 2) & \
+        (jnp.trace(ares.RVel) < p.KFAlignTransUncertMax ** 2)
+    align_ok = run & finite & conditioned & (chi2 < CHI2_6_999) & \
         (back_m >= p.GlobalMatchThreshold)
     Pose_kf = kf.Pose @ ares.R.T
     Pos_kf = kf.Pos - Pose_kf @ (ares.t * Ks)
@@ -301,7 +325,8 @@ def track_keyframe(
         klm=kf_klm,
         Pose=jnp.where(save, Pose, kf.Pose),
         Pos=jnp.where(save, Pos, kf.Pos),
-        count=kf.count + save.astype(jnp.int32))
+        count=kf.count + save.astype(jnp.int32),
+        age=jnp.where(save, 0, kf.age + 1).astype(jnp.int32))
 
     # resetKFMatch (kfvo.cpp:783-787) on the frame map when saved
     klm_out = klm._replace(

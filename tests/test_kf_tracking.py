@@ -161,3 +161,113 @@ def test_kf_switching_on_travel():
     assert saves >= 2, saves
     assert ids == sorted(ids)                  # monotone keyframe ids
     assert all(bool(o.nav.estimation_ok) for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# adversarial: the innovation chi^2 re-anchor gate
+# ---------------------------------------------------------------------------
+
+
+def _gate_scene(K=2048, seed=3, n_lines=12):
+    """Keyframe + current-frame maps of the same 3D line scene, with
+    identity KF matches so back_m is high and only the chi^2/conditioning
+    terms of the gate discriminate."""
+    import jax
+    from tests.synthetic import lines_scene, make_map, transform_points
+    from rebvo_tpu.core.geometry import CameraModel
+    from rebvo_tpu.kernels.field import build_field
+    from rebvo_tpu.kernels.pose_solver import FieldView
+
+    p = small_params(TrackKeyFrames=1, GlobalMatchThreshold=200)
+    cam = CameraModel.from_params(p)
+    zfm, cx, cy = cam.zfm, cam.cx, cam.cy
+    P, ang = lines_scene(seed=seed, n_lines=n_lines, depth_range=(2.0, 6.0))
+    # keep points strictly in the small camera's FOV
+    keep = (np.abs(P[:, 0] / P[:, 2] * zfm) < cx * 0.9) & \
+           (np.abs(P[:, 1] / P[:, 2] * zfm) < cy * 0.9)
+    P, ang = P[keep], ang[keep]
+    n = P.shape[0]
+
+    R_true = np.eye(3)
+    t_true = np.array([0.02, -0.01, 0.005])
+    Pn = transform_points(P, R_true, t_true)
+    kf_map = make_map(P, ang, zfm, cx, cy, K, s_rho=0.05)
+    fr_map = make_map(Pn, ang, zfm, cx, cy, K, s_rho=0.05)
+
+    ar = np.arange(K, dtype=np.int32)
+    ident = jnp.asarray(np.where(ar < n, ar, -1))
+    # simple 2-neighbour chains inside each map (order of lines_scene)
+    p_id = jnp.asarray(np.where((ar > 0) & (ar < n), ar - 1, -1), jnp.int32)
+    n_id = jnp.asarray(np.where(ar < n - 1, ar + 1, -1), jnp.int32)
+    kf_map = kf_map._replace(m_id_f=ident, m_id_kf=ident, p_id=p_id,
+                             n_id=n_id)
+    fr_map = fr_map._replace(m_id_kf=ident, m_id=ident, p_id=p_id,
+                             n_id=n_id)
+
+    from rebvo_tpu.frontend.kf_tracking import KFCarry
+    kf = KFCarry(klm=kf_map, Pose=jnp.eye(3), Pos=jnp.zeros(3),
+                 count=jnp.asarray(1, jnp.int32),
+                 age=jnp.asarray(5, jnp.int32))
+    field = build_field(fr_map, jnp.asarray(0.0), radius=8,
+                        height=p.ImageHeight, width=p.ImageWidth)
+    fv = FieldView.from_map(field, fr_map)
+    # true current pose: camera moved by t_true (cam-to-world)
+    Pose_true = jnp.eye(3)
+    Pos_true = jnp.asarray(-R_true.T @ t_true, jnp.float32)
+    return p, cam, kf, fr_map, fv, Pose_true, Pos_true, n
+
+
+def _run_gate(p, cam, kf, fr_map, fv, Pose, Pos, K_scale=1.0):
+    from rebvo_tpu.frontend.kf_tracking import track_keyframe
+    return track_keyframe(
+        kf, fr_map, fv, jnp.asarray(Pose, jnp.float32),
+        jnp.asarray(Pos, jnp.float32), jnp.asarray(K_scale, jnp.float32),
+        jnp.asarray(3000, jnp.int32), jnp.asarray(1e3, jnp.float32),
+        jnp.asarray(True), cam=cam, params=p)
+
+
+def test_gate_accepts_healthy_drift():
+    """A small dead-reckoning drift with healthy geometry must be
+    accepted and the pose pulled toward the KF-consistent one."""
+    p, cam, kf, fr_map, fv, Pose_t, Pos_t, n = _gate_scene()
+    drift = np.array([0.004, -0.003, 0.002], np.float32)
+    res = _run_gate(p, cam, kf, fr_map, fv, Pose_t, np.asarray(Pos_t) + drift)
+    assert bool(res.align_ok), "healthy correction must pass the gate"
+    err_in = np.linalg.norm(np.asarray(Pos_t) + drift - np.asarray(Pos_t))
+    err_out = np.linalg.norm(np.asarray(res.Pos) - np.asarray(Pos_t))
+    assert err_out < 0.5 * err_in, (err_out, err_in)
+
+
+def test_gate_rejects_stale_kf_out_of_view():
+    """A keyframe whose map no longer projects into the frame must be
+    rejected; the pose falls back to dead reckoning."""
+    p, cam, kf, fr_map, fv, Pose_t, Pos_t, n = _gate_scene()
+    kf_far = kf._replace(Pos=jnp.asarray([5.0, 0.0, 0.0], jnp.float32))
+    Pos_in = np.asarray(Pos_t) + np.float32([0.004, 0.0, 0.0])
+    res = _run_gate(p, cam, kf_far, fr_map, fv, Pose_t, Pos_in)
+    assert not bool(res.align_ok)
+    np.testing.assert_array_equal(np.asarray(res.Pos), Pos_in)
+    np.testing.assert_array_equal(np.asarray(res.Pose), np.asarray(Pose_t))
+
+
+def test_gate_rejects_aperture_degenerate_frame():
+    """All frame edges parallel (single gradient direction): the
+    alignment JtJ is near-singular along the edge, so the conditioning
+    caps must reject even though matches are plentiful."""
+    p, cam, kf, fr_map, fv, Pose_t, Pos_t, n = _gate_scene(n_lines=1)
+    Pos_in = np.asarray(Pos_t) + np.float32([0.004, -0.002, 0.0])
+    res = _run_gate(p, cam, kf, fr_map, fv, Pose_t, Pos_in)
+    assert not bool(res.align_ok)
+    np.testing.assert_array_equal(np.asarray(res.Pos), Pos_in)
+
+
+def test_gate_rejects_wrong_scale_prior():
+    """A grossly wrong depth gauge makes the alignment produce a large,
+    confident correction — the chi^2 against the drift budget rejects."""
+    p, cam, kf, fr_map, fv, Pose_t, Pos_t, n = _gate_scene()
+    Pos_in = np.asarray(Pos_t) + np.float32([0.004, 0.0, 0.0])
+    # K_scale 20x too small blows the prior up 20x in the VO gauge: the
+    # resulting confident correction must fail the chi^2 / conditioning
+    res = _run_gate(p, cam, kf, fr_map, fv, Pose_t, Pos_in, K_scale=0.05)
+    assert not bool(res.align_ok)
+    np.testing.assert_array_equal(np.asarray(res.Pos), Pos_in)
