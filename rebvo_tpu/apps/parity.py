@@ -153,8 +153,8 @@ def run_reference(seq_dir: str, timeout: float = 600.0):
                 proc.stdin.write(b"x\n")
                 proc.stdin.flush()
                 time.sleep(0.2)
-        except (BrokenPipeError, OSError):
-            pass
+        except (BrokenPipeError, OSError, ValueError):
+            pass  # stdin closed by communicate() at process exit
 
     th = threading.Thread(target=feeder, daemon=True)
     th.start()
