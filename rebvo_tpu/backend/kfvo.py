@@ -129,6 +129,109 @@ def refine_keyframe_depths(
                            rho0=back.rho0, s_rho0=back.s_rho0)
 
 
+def _proj_inv_depth(px: Array, py: Array, rho: Array, R: Array, t: Array,
+                    zfm: Array, pre_scale: Array = 1.0) -> Array:
+    """Inverse depth of each keyline after SE(3) transport into the
+    partner frame — the q1[2] of the reference's unProject/project pair
+    (kfvo.h:42-81). Non-positive values mark behind-camera points."""
+    rho_c = jnp.clip(rho, RHO_MIN, RHO_MAX)
+    z = pre_scale / rho_c
+    X = px * z / zfm
+    Y = py * z / zfm
+    Pz = R[2, 0] * X + R[2, 1] * Y + R[2, 2] * z + t[2]
+    return jnp.where(Pz > 1e-9, 1.0 / jnp.maximum(Pz, 1e-9), -1.0)
+
+
+def optimize_scale(klm: KeylineMap, kf_klm: KeylineMap, m_id: Array,
+                   R: Array, t: Array, zfm: Array, *,
+                   mode: str = "fwd", pre_scale: Array = 1.0,
+                   init: Array = 1.0) -> Tuple[Array, Array]:
+    """Information-weighted depth-gauge ratio between a frame map and a
+    keyframe map — the reference's optimizeScale / optimizeScaleF2KF /
+    optimizeScaleBack (kfvo.cpp:222-330), batched.
+
+    Frame keylines are transported into the keyframe camera by (R, t)
+    and their corrected inverse depths q1z compared with the matched
+    keyframe depths rho_b under per-pair information weights:
+
+      mode="fwd"  (optimizeScale, matches = m_id into kf_klm):
+          v = s^2 + s_b^2;  Kr = sum(q1z^2/v) / sum(q1z*rho_b/v)
+      mode="f2kf" (optimizeScaleF2KF):
+          v = s^2 (q1z/rho)^2 + s_b^2;
+          Kr = sum(rho_b^2/v) / sum(q1z^2/v), weight W_Kp = sum(q1z^2/v)
+      mode="back" (optimizeScaleBack, roles swapped by the caller, with
+          `pre_scale` = the frame gauge K and `init` = the KF's K):
+          v = (s*q1z/rho*init)^2 + s_b^2;
+          Kr = sum(q1z*rho_b/v) / sum(q1z^2/v)
+
+    Returns (Kr, weight) — weight is the denominator sum (for "f2kf"
+    exactly the reference's W_Kp output); 0 means no usable pairs and
+    Kr falls back to 1 / `init` exactly like the reference's guards."""
+    ok = klm.valid & (m_id >= 0)
+    ms = jnp.maximum(m_id, 0)
+    rho_b = kf_klm.rho[ms]
+    s_b = kf_klm.s_rho[ms]
+    q1z = _proj_inv_depth(klm.px, klm.py, klm.rho, R, t, zfm,
+                          pre_scale=pre_scale)
+    ok = ok & (q1z > 0)
+    if mode == "fwd":
+        v = klm.s_rho ** 2 + s_b ** 2
+        num = q1z * q1z / v
+        den = q1z * rho_b / v
+        fallback = jnp.asarray(1.0, q1z.dtype)
+    elif mode == "f2kf":
+        v = (klm.s_rho * q1z / jnp.clip(klm.rho, RHO_MIN, RHO_MAX)) ** 2 \
+            + s_b ** 2
+        den = q1z * q1z / v
+        num = rho_b * rho_b / v
+        fallback = jnp.asarray(1.0, q1z.dtype)
+    elif mode == "back":
+        v = (klm.s_rho * q1z / jnp.clip(klm.rho, RHO_MIN, RHO_MAX)
+             * init) ** 2 + s_b ** 2
+        num = q1z * rho_b / v
+        den = q1z * q1z / v
+        fallback = jnp.asarray(init, q1z.dtype)
+    else:
+        raise ValueError(mode)
+    num_s = jnp.sum(jnp.where(ok, num, 0.0))
+    den_s = jnp.sum(jnp.where(ok, den, 0.0))
+    good = (num_s > 0) & (den_s > 0)
+    Kr = jnp.where(good, num_s / jnp.where(good, den_s, 1.0), fallback)
+    return Kr, den_s
+
+
+def mutual_exclusion(m_fwd: Array, valid: Array, m_back: Array,
+                     px: Array, py: Array, ux: Array, uy: Array, *,
+                     dist_thresh: float, discard_non_mutual: bool = True,
+                     along_normal: bool = False) -> Tuple[Array, Array, Array]:
+    """Round-trip match consistency filter (mutualExclusionSimple,
+    kfvo.cpp:423-525): for each keyline with a forward match, follow the
+    partner's back match; if the round trip lands farther than
+    `dist_thresh` from the origin keyline (euclidean, or projected on
+    the keyline normal with `along_normal`, the reference's second
+    branch), or there is no back match and `discard_non_mutual`, the
+    forward match is cleared.
+
+    Returns (filtered m_fwd, total_checked, mutual_survivors)."""
+    has = valid & (m_fwd >= 0)
+    ms = jnp.maximum(m_fwd, 0)
+    mb = m_back[ms]                       # partner's back match
+    mb_ok = mb >= 0
+    mbs = jnp.maximum(mb, 0)
+    dx = px - px[mbs]
+    dy = py - py[mbs]
+    if along_normal:
+        d = jnp.abs(dx * ux + dy * uy)
+    else:
+        d = jnp.sqrt(dx * dx + dy * dy)
+    far = mb_ok & (d > dist_thresh)
+    drop = has & (far | ((~mb_ok) & discard_non_mutual))
+    keep = has & mb_ok & ~far
+    out = jnp.where(drop, -1, m_fwd)
+    return out, jnp.sum(has).astype(jnp.int32), \
+        jnp.sum(keep).astype(jnp.int32)
+
+
 def count_kf_matches(klm: KeylineMap) -> Array:
     """countMatches role (kfvo.cpp:18-55)."""
     return jnp.sum(klm.valid & (klm.m_id_kf >= 0)).astype(jnp.int32)

@@ -222,3 +222,89 @@ def test_normal_reciprocal_moments():
     xs = jnp.linspace(-5, 5, 2001)
     p = normal_pdf(xs, jnp.asarray(0.0), jnp.asarray(1.0))
     assert abs(float(jnp.trapezoid(p, xs)) - 1.0) < 1e-3
+
+
+def test_kfvo_optimize_scale_recovers_gauge():
+    """All three optimizeScale variants (kfvo.cpp:222-330) must recover
+    a known depth-gauge ratio between frame and keyframe maps."""
+    import jax.numpy as jnp
+    from rebvo_tpu.backend.kfvo import optimize_scale
+    from tests.synthetic import lines_scene, make_map
+
+    K = 2048
+    P, ang = lines_scene(seed=5)
+    n = P.shape[0]
+    kf = make_map(P, ang, ZFM, CX, CY, K, s_rho=0.05)
+    # frame sees the SAME points but its depth gauge is 1.25x off:
+    # rho_frame = rho_true * 1.25 (depths look 1.25x closer)
+    gauge = 1.25
+    fr = make_map(P, ang, ZFM, CX, CY, K, s_rho=0.05)
+    fr = fr._replace(rho=fr.rho * gauge)
+    m_id = jnp.asarray(np.where(np.arange(K) < n, np.arange(K), -1),
+                       jnp.int32)
+    R = jnp.eye(3)
+    t = jnp.zeros(3)
+
+    # fwd: Kr = sum(q1z^2/v)/sum(q1z rho_b/v); with q1z = rho_true*gauge
+    # and rho_b = rho_true the ratio is exactly the gauge
+    Kr, w = optimize_scale(fr, kf, m_id, R, t, jnp.asarray(ZFM), mode="fwd")
+    np.testing.assert_allclose(float(Kr), gauge, rtol=1e-3)
+    assert float(w) > 0
+
+    # f2kf: Kr = sum(rho_b^2/v)/sum(q1z^2/v) = 1/gauge^2 exactly here
+    Kr2, W_Kp = optimize_scale(fr, kf, m_id, R, t, jnp.asarray(ZFM),
+                               mode="f2kf")
+    np.testing.assert_allclose(float(Kr2), 1.0 / gauge ** 2, rtol=1e-3)
+    assert float(W_Kp) > 0
+
+    # back: Kr = sum(q1z rho_b/v)/sum(q1z^2/v) = 1/gauge
+    Kr3, _ = optimize_scale(fr, kf, m_id, R, t, jnp.asarray(ZFM),
+                            mode="back", init=1.0)
+    np.testing.assert_allclose(float(Kr3), 1.0 / gauge, rtol=1e-3)
+
+    # no matches -> the reference's fallback guards
+    none = jnp.full((K,), -1, jnp.int32)
+    Kr4, w4 = optimize_scale(fr, kf, none, R, t, jnp.asarray(ZFM),
+                             mode="back", init=3.7)
+    assert float(w4) == 0
+    np.testing.assert_allclose(float(Kr4), 3.7, rtol=1e-6)
+
+
+def test_kfvo_mutual_exclusion():
+    """Round-trip filter (mutualExclusionSimple, kfvo.cpp:423-525):
+    non-mutual and far round trips are cleared, consistent ones kept."""
+    import jax.numpy as jnp
+    from rebvo_tpu.backend.kfvo import mutual_exclusion
+
+    # 4 keylines: 0 mutual-consistent, 1 non-mutual, 2 far round trip,
+    # 3 unmatched
+    m_fwd = jnp.asarray([10, 11, 12, -1], jnp.int32)
+    valid = jnp.ones((4,), bool)
+    # partner map back matches (by partner index): 10->0, 11->none,
+    # 12->0 (round trip of kl 2 lands on kl 0, far away)
+    m_back = jnp.full((16,), -1, jnp.int32)
+    m_back = m_back.at[10].set(0).at[12].set(0)
+    px = jnp.asarray([0.0, 50.0, 100.0, 150.0], jnp.float32)
+    py = jnp.zeros((4,), jnp.float32)
+    ux = jnp.ones((4,), jnp.float32)
+    uy = jnp.zeros((4,), jnp.float32)
+
+    out, total, mutual = mutual_exclusion(
+        m_fwd, valid, m_back, px, py, ux, uy, dist_thresh=5.0)
+    assert out.tolist() == [10, -1, -1, -1]
+    assert int(total) == 3 and int(mutual) == 1
+
+    # keep non-mutual matches when discard_non_mutual=False
+    out2, _, _ = mutual_exclusion(
+        m_fwd, valid, m_back, px, py, ux, uy, dist_thresh=5.0,
+        discard_non_mutual=False)
+    assert out2.tolist() == [10, 11, -1, -1]
+
+    # normal-projected distance (the reference's second branch): a far
+    # round trip PERPENDICULAR to the normal is tolerated
+    py_perp = jnp.asarray([0.0, 0.0, 100.0, 0.0], jnp.float32)
+    px_same = jnp.asarray([0.0, 50.0, 0.0, 150.0], jnp.float32)
+    out3, _, _ = mutual_exclusion(
+        m_fwd, valid, m_back, px_same, py_perp, ux, uy, dist_thresh=5.0,
+        along_normal=True)
+    assert int(out3[2]) == 12     # dy=100 but normal is x: kept
