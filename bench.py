@@ -134,26 +134,57 @@ def phase_serial(lanes):
     state = fe.bootstrap(state, frames[0], jnp.asarray(0.0))
     st, out = fe.step(state, frames[1], jnp.asarray(0.05))
     jax.block_until_ready(st)
-    chunk, n_chunks = 5, 12
-    times = []
-    i = 0
-    for _ in range(n_chunks):
-        t0 = time.perf_counter()
-        for _ in range(chunk):
-            st, out = fe.step(st, frames[1 + i % 2],
-                              jnp.asarray(0.05 * (i + 2)))
-            i += 1
-        jax.block_until_ready(st)
-        times.append(time.perf_counter() - t0)
-    times = np.asarray(times)
-    tmin = times.min()
-    healthy_mask = times < 3.0 * tmin
-    n_healthy = int(healthy_mask.sum())
-    fps = chunk * n_healthy / times[healthy_mask].sum()
+    def run_loop(step_fn, st0, n_chunks=12, chunk=5):
+        times = []
+        st_l = st0
+        i = 0
+        out_l = None
+        for _ in range(n_chunks):
+            t0 = time.perf_counter()
+            for _ in range(chunk):
+                st_l, out_l = step_fn(st_l, frames[1 + i % 2],
+                                      jnp.asarray(0.05 * (i + 2)))
+                i += 1
+            jax.block_until_ready(st_l)
+            times.append(time.perf_counter() - t0)
+        times = np.asarray(times)
+        healthy = times < 3.0 * times.min()
+        fps = chunk * int(healthy.sum()) / times[healthy].sum()
+        return float(fps), int(healthy.sum()), out_l, st_l
+
+    # main measurement: donated step (input buffers recycled)
+    st, out = fe.step_donated(st, frames[1], jnp.asarray(0.10))
+    jax.block_until_ready(st)
+    fps, n_healthy, out, st = run_loop(fe.step_donated, st)
+
+    # --- serial-gap attribution (BENCH detail): where does wall time
+    # beyond the stage sum go?
+    #   dispatch: host cost of pushing the state pytree through a jitted
+    #     near-no-op with the same arg/result structure;
+    #   non-donated: the classic fe.step (fresh output allocations).
+    noop = jax.jit(lambda s, f, t: (s._replace(t=s.t + t), f[0, 0]))
+    _ = noop(st, frames[1], jnp.asarray(0.0))
+    t0 = time.perf_counter()
+    st_n = st
+    for i in range(30):
+        st_n, _ = noop(st_n, frames[1], jnp.asarray(0.05))
+    jax.block_until_ready(st_n)
+    dispatch_ms = (time.perf_counter() - t0) / 30 * 1e3
+    st = st_n
+
+    st2 = fe.init()
+    st2 = fe.bootstrap(st2, frames[0], jnp.asarray(0.0))
+    st2, _ = fe.step(st2, frames[1], jnp.asarray(0.05))
+    jax.block_until_ready(st2)
+    fps_nodon, _, _, _ = run_loop(fe.step, st2, n_chunks=6)
+
     return dict(serial_fps=round(float(fps), 2),
                 kl_num=int(out.nav.kl_num), klm_num=int(out.nav.klm_num),
-                healthy_chunks=f"{n_healthy}/{n_chunks}",
-                serial_ok=bool(n_healthy >= 4))
+                healthy_chunks=f"{n_healthy}/12",
+                serial_ok=bool(n_healthy >= 4),
+                serial_step_ms=round(1e3 / fps, 4),
+                dispatch_overhead_ms=round(dispatch_ms, 4),
+                serial_fps_nondonated=round(float(fps_nodon), 2))
 
 
 def phase_batched(lanes):

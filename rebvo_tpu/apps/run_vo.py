@@ -144,10 +144,12 @@ def main(argv=None):
         if n_done == 0:
             state = fe.bootstrap(state, frame, jnp.asarray(t), pair)
         elif params.ImuMode and win is not None:
-            state, out = fe.step_imu(state, frame, jnp.asarray(t), win,
-                                     R_c2i, T_c2i, pair)
+            # donated step: the previous state's device buffers are
+            # recycled for the new state (serial-latency path)
+            state, out = fe.step_imu_donated(state, frame, jnp.asarray(t),
+                                             win, R_c2i, T_c2i, pair)
         else:
-            state, out = fe.step(state, frame, jnp.asarray(t), pair)
+            state, out = fe.step_donated(state, frame, jnp.asarray(t), pair)
         if venc is not None:
             venc.push_frame(np.asarray(frame))
             data = venc.pop_frame()

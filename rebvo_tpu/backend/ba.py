@@ -468,3 +468,50 @@ def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
         rho=catl("rho"), lvalid=catl("lvalid"), obs_lm=cato("obs_lm"),
         obs_kf=cato("obs_kf"), mx=cato("mx"), my=cato("my"),
         ux=cato("ux"), uy=cato("uy"), w=cato("w"), ovalid=cato("ovalid"))
+
+
+def synth_ring_problem(F: int, L: int, obs_per: int, zfm: float,
+                       seed: int = 0, rho_noise: float = 0.1):
+    """Deterministic synthetic BA benchmark problem: F cameras on a ring,
+    L landmarks anchored uniformly, each observed from `obs_per`
+    subsequent keyframes with exact reprojections and log-normal noise on
+    the inverse depths. Shared by tests/test_ba_scale.py and the
+    multi-host scaling harness so both exercise the identical problem.
+
+    Returns (R_true [F,3,3], p_true [F,3], rho_true [L], BAProblem)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    ang = np.linspace(0, 2 * np.pi, F, endpoint=False)
+    p_true = np.stack([np.cos(ang), np.sin(ang), np.zeros(F)],
+                      1).astype(np.float32) * 0.5
+    R_true = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+    anchor = rng.randint(0, F, L).astype(np.int32)
+    lpx = rng.uniform(-60, 60, L).astype(np.float32)
+    lpy = rng.uniform(-40, 40, L).astype(np.float32)
+    rho_true = rng.uniform(0.2, 1.0, L).astype(np.float32)
+
+    l_idx = np.repeat(np.arange(L), obs_per)
+    off = np.tile(np.arange(1, obs_per + 1), L)
+    f_idx = (anchor[l_idx] + off) % F
+    z = 1.0 / rho_true[l_idx]
+    Xa = np.stack([lpx[l_idx] * z / zfm, lpy[l_idx] * z / zfm, z], 1)
+    Xw = np.einsum("fij,fj->fi", R_true[anchor[l_idx]], Xa) + \
+        p_true[anchor[l_idx]]
+    Xf = np.einsum("fji,fj->fi", R_true[f_idx], Xw - p_true[f_idx])
+    mx = (Xf[:, 0] * zfm / Xf[:, 2]).astype(np.float32)
+    my = (Xf[:, 1] * zfm / Xf[:, 2]).astype(np.float32)
+    th = rng.uniform(0, np.pi, l_idx.shape[0])
+    O = l_idx.shape[0]
+    prob = BAProblem(
+        anchor=jnp.asarray(anchor), lpx=jnp.asarray(lpx),
+        lpy=jnp.asarray(lpy),
+        rho=jnp.asarray(
+            rho_true * np.exp(rng.randn(L).astype(np.float32) * rho_noise)),
+        lvalid=jnp.ones((L,), bool),
+        obs_lm=jnp.asarray(l_idx.astype(np.int32)),
+        obs_kf=jnp.asarray(f_idx.astype(np.int32)),
+        mx=jnp.asarray(mx), my=jnp.asarray(my),
+        ux=jnp.asarray(np.cos(th).astype(np.float32)),
+        uy=jnp.asarray(np.sin(th).astype(np.float32)),
+        w=jnp.ones((O,), jnp.float32), ovalid=jnp.ones((O,), bool))
+    return R_true, p_true, rho_true, prob

@@ -361,8 +361,19 @@ def est_ka_gmek_bias(
     JtJ, _ = _kagmek_problem(Xn, s_acel, f_acel, g_gravit, Xp, Rv, Rs, Rg, Pp)
     Pn = _inv_scaled(JtJ)
 
+    # Scale guard: the reference only floors k = tan(alpha) at 0
+    # (scaleestimator.cpp:283), but a diverging filter (vision gauge
+    # inconsistent with the accel) can push alpha to +-pi/2, making
+    # k -> 0/inf and poisoning every downstream K_scale consumer with
+    # NaN. Clamp to a sane band and fall back to 1 on non-finite —
+    # self-healing instead of NaN propagation (SURVEY §5 failure
+    # detection).
     k = jnp.tan(Xn[0])
-    k = jnp.where((k < 0) | ~jnp.isfinite(k), 0.0, k)
+    k = jnp.where(jnp.isfinite(k) & (k > 0), jnp.clip(k, 1e-2, 1e3), 1.0)
+    # a non-finite filter state resets to the prediction (NaN gate)
+    x_ok = jnp.all(jnp.isfinite(Xn))
+    Xn = jnp.where(x_ok, Xn, Xp)
+    Pn = jnp.where(x_ok & jnp.all(jnp.isfinite(Pn)), Pn, Pp)
     g_est = Xn[1:4]
     b_est = Xn[4:7]
 

@@ -259,6 +259,15 @@ class VOFrontend:
         self.step = jax.jit(self.step_fn)
         self.step_imu = jax.jit(self.step_imu_fn)
         self.bootstrap = jax.jit(self.bootstrap_fn)
+        # donated variants for serial drivers (run_vo, bench): the input
+        # state's buffers (keyline SoA, mask/field images, nav-log ring —
+        # several MB) are reused for the outputs instead of freshly
+        # allocated every frame, cutting allocator pressure and HBM
+        # traffic in the latency path. Callers must not touch the old
+        # state after stepping.
+        self.step_donated = jax.jit(self.step_fn, donate_argnums=(0,))
+        self.step_imu_donated = jax.jit(self.step_imu_fn,
+                                        donate_argnums=(0,))
 
     def init(self) -> VOState:
         return init_state(self.params)
@@ -577,7 +586,21 @@ class VOFrontend:
             jnp.asarray(p.MatchNumThresh, jnp.int32),
             state.frame_count.astype(jnp.int32))
 
-        Vg0 = jnp.zeros((3,), dt_f) if p.TrackerInitType == 0 else ic.Vg
+        # IMU-propagated warm start: an accelerating rig changes the
+        # per-frame displacement by (specific force + gravity)*dt_frame^2;
+        # propagating the previous visual displacement by the accel
+        # increment keeps the minimizer's init inside the correct basin
+        # of the (locally multi-modal) edge-alignment cost even under
+        # acceleration, where a plain previous-velocity init falls
+        # behind and locks onto a shrunken solution. VO-gauge units:
+        # world accel / K_scale; back-displacement convention: minus.
+        filter_live = state.frame_count > (4 + p.InitBiasFrameNum)
+        dv_imu = -(imu.cacel + ic.g_est) * dt_frame * dt_frame / \
+            jnp.maximum(state.K_scale, jnp.asarray(1e-6, dt_f))
+        dv_imu = jnp.where(filter_live & jnp.all(jnp.isfinite(dv_imu)),
+                           dv_imu, jnp.zeros((3,), dt_f))
+        Vg0 = (jnp.zeros((3,), dt_f) if p.TrackerInitType == 0
+               else ic.Vg + dv_imu)
         vres = minimizer_v(
             Vg0, old_pre, fv,
             zfm=cam.zfm, cx=cam.cx, cy=cam.cy,

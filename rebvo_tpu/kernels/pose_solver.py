@@ -310,9 +310,27 @@ def minimizer_rv(
     elif init_type == 1:
         X = prior_X
     else:
-        Xa, Fa, *_ = lm_phase(jnp.zeros((6,), dt), init_iter)
-        Xb, Fb, *_ = lm_phase(prior_X, init_iter)
-        X = jnp.where(Fb <= Fa, Xb, Xa)
+        # Warm start over a CANDIDATE BATCH: the reference's two inits
+        # (zero and prior, global_tracker.cpp:644-751) plus a velocity
+        # scale ladder (2x/4x/8x the prior V). The ladder exists because
+        # the robust edge-alignment cost has a known failure mode where
+        # a shrunken translation is self-consistent with slightly-wrong
+        # matches and becomes a local minimum; each rung is refined by a
+        # short LM phase (so junk components of a scaled init don't mask
+        # a good magnitude). All five candidates run as ONE vmapped LM
+        # phase — batched gathers, same wall time as a single phase.
+        cands = jnp.stack(
+            [jnp.zeros((6,), dt), prior_X]
+            + [prior_X.at[:3].multiply(s) for s in (2.0, 4.0, 8.0)])
+        Xs, Fs = jax.vmap(
+            lambda x0: lm_phase(x0, init_iter)[:2])(cands)
+        # reference semantics between zero/prior: prior wins ties
+        base_i = jnp.where(Fs[1] <= Fs[0], 1, 0)
+        # ladder rungs only on a clear (2%) win — alias guard against a
+        # large scaled init matching the wrong texture line
+        rung_i = 2 + jnp.argmin(Fs[2:])
+        take = Fs[rung_i] < 0.98 * Fs[base_i]
+        X = Xs[jnp.where(take, rung_i, base_i)]
 
     X, F, JtJ, JtF, m_id_f, eff, h, F0 = lm_phase(X, iter_max)
 
@@ -366,28 +384,42 @@ def minimizer_v(
         return try_vel_rot(jnp.concatenate([V, zeros3]), old, fv, q_frame,
                            **kw)
 
-    r = ev(Vel)
-    F = r.score
-    JtJ = r.JtJ[:3, :3]
-    JtF = r.JtF[:3]
-    m_id_f = r.m_id_f
-    u = tau * jnp.max(JtJ)
-    v = jnp.asarray(2.0, dt)
-    V = Vel
-    for _ in range(iter_max):
-        h = _solve_lm(JtJ, JtF, u)
-        Vn = V + h
-        rn = ev(Vn)
-        gain = (F - rn.score) / (0.5 * jnp.dot(h, u * h - JtF))
-        acc = gain > 0
-        V = jnp.where(acc, Vn, V)
-        F = jnp.where(acc, rn.score, F)
-        JtJ = jnp.where(acc, rn.JtJ[:3, :3], JtJ)
-        JtF = jnp.where(acc, rn.JtF[:3], JtF)
-        m_id_f = jnp.where(acc, rn.m_id_f, m_id_f)
-        u_acc, v_acc = _lm_damping_update(u, v, gain)
-        u = jnp.where(acc, u_acc, u * v)
-        v = jnp.where(acc, v_acc, v * 2.0)
+    def lm_phase(V0, n_iter):
+        r = ev(V0)
+        F = r.score
+        JtJ = r.JtJ[:3, :3]
+        JtF = r.JtF[:3]
+        m_id_f = r.m_id_f
+        u = tau * jnp.max(JtJ)
+        v = jnp.asarray(2.0, dt)
+        V = V0
+        for _ in range(n_iter):
+            h = _solve_lm(JtJ, JtF, u)
+            Vn = V + h
+            rn = ev(Vn)
+            gain = (F - rn.score) / (0.5 * jnp.dot(h, u * h - JtF))
+            acc = gain > 0
+            V = jnp.where(acc, Vn, V)
+            F = jnp.where(acc, rn.score, F)
+            JtJ = jnp.where(acc, rn.JtJ[:3, :3], JtJ)
+            JtF = jnp.where(acc, rn.JtF[:3], JtF)
+            m_id_f = jnp.where(acc, rn.m_id_f, m_id_f)
+            u_acc, v_acc = _lm_damping_update(u, v, gain)
+            u = jnp.where(acc, u_acc, u * v)
+            v = jnp.where(acc, v_acc, v * 2.0)
+        return V, F, JtJ, JtF, m_id_f
+
+    # Velocity scale ladder (see minimizer_rv): the robust cost has a
+    # local minimum at a shrunken translation; probe 2x/4x/8x copies of
+    # the init, each refined by a 2-iteration LM phase, as ONE vmapped
+    # batch, and take a rung only on a clear (2%) win (alias guard).
+    cands = jnp.stack([Vel * s for s in (1.0, 2.0, 4.0, 8.0)])
+    Vs, Fs = jax.vmap(lambda v0: lm_phase(v0, 2)[:2])(cands)
+    rung_i = 1 + jnp.argmin(Fs[1:])
+    take = Fs[rung_i] < 0.98 * Fs[0]
+    V = Vs[jnp.where(take, rung_i, 0)]
+
+    V, F, JtJ, JtF, m_id_f = lm_phase(V, iter_max)
 
     RVel = jnp.linalg.inv(JtJ)
     return MinimizerVResult(Vel=V, RVel=RVel, m_id_f=m_id_f, score=F)

@@ -155,11 +155,34 @@ def roofline(fe, stage_ms: Dict[str, float]) -> Dict[str, float]:
     out["scale_space_gbps"] = ss_bytes / ss_s / 1e9
     out["scale_space_hbm_util"] = ss_bytes / ss_s / HBM_PEAK_BYTES_S
 
-    iters = 2 * p.TrackerInitIterNum + p.TrackerIterNum + 2
+    # scale-ladder warm start adds 4 more 2-iteration phases
+    iters = 2 * p.TrackerInitIterNum + 3 * 3 + p.TrackerIterNum + 2
     ps_bytes = iters * K * (14 + 7) * 4
     ps_s = stage_ms["pose_solver"] * 1e-3
     out["pose_solver_gbps"] = ps_bytes / ps_s / 1e9
     out["pose_solver_hbm_util"] = ps_bytes / ps_s / HBM_PEAK_BYTES_S
+
+    # directed matching (field variant): reads the query map SoA
+    # (~16 f32 arrays of K incl. the match-transfer fields), samples the
+    # field image at 2*steps ladder slots per keyline (4 B each), then
+    # one [hit_cap=8, 8]-row attribute gather per keyline; writes the
+    # ~12 updated SoA arrays. bytes ≈ K*(16*4 + 2*steps*4 + 8*8*4 +
+    # 12*4). Gather efficiency < 1 makes this a strict lower bound.
+    if "matching" in stage_ms:
+        steps = int(p.SearchRange / max(p.MatchFieldStride, 1)) + 3
+        m_bytes = K * (16 * 4 + 2 * steps * 4 + 8 * 8 * 4 + 12 * 4)
+        m_s = stage_ms["matching"] * 1e-3
+        out["matching_gbps"] = m_bytes / m_s / 1e9
+        out["matching_hbm_util"] = m_bytes / m_s / HBM_PEAK_BYTES_S
+
+    # depth filter chain (regularize + EKF + rescale): 3 passes over the
+    # keyline SoA (~16 arrays) with the regularizer's 2 chain-neighbour
+    # gathers of 8 attrs; bytes ≈ K*4*(3*16 + 2*8) read+write.
+    if "depth_filter" in stage_ms:
+        d_bytes = K * 4 * (3 * 16 + 2 * 8) * 2
+        d_s = stage_ms["depth_filter"] * 1e-3
+        out["depth_filter_gbps"] = d_bytes / d_s / 1e9
+        out["depth_filter_hbm_util"] = d_bytes / d_s / HBM_PEAK_BYTES_S
     return out
 
 

@@ -246,3 +246,47 @@ def test_vi_scale_filter_moves_toward_gauge():
     if gauge > 1.5:
         assert K_final > 1.2, (K_final, gauge)
         assert K_final < gauge * 2.5, (K_final, gauge)
+
+
+def make_vi_sequence_static_start(n=24, fps=20.0, imu_hz=200.0, seed=0,
+                                  hold=6, A=0.18, f_hz=0.5):
+    """Like make_vi_sequence but physically consistent with the
+    reference's static bias initialisation (InitBias=1 averages the
+    first InitBiasFrameNum frames ASSUMING a static rig,
+    rebvo_second_t.cpp:131-141): the rig holds still for `hold` frames,
+    then runs one smooth 1-cos excursion along x. Returns
+    (frames, t_frames, wins, pos, depths)."""
+    om = 2 * np.pi * f_hz
+    t_frames = np.arange(n) / fps
+    th = hold / fps
+
+    def x_of(t):
+        t = np.asarray(t)
+        return np.where(t < th, 0.0, 0.5 * A * (1 - np.cos(om * (t - th))))
+
+    def a_of(t):
+        t = np.asarray(t)
+        return np.where(t < th, 0.0, 0.5 * A * om * om * np.cos(om * (t - th)))
+
+    pos = np.zeros((n, 3))
+    pos[:, 0] = x_of(t_frames)
+    kw = {k: v for k, v in SMALL.items() if k != "z0"}
+    frames, depths = render_billboards_seq(n, cam_positions=pos,
+                                           return_depth=True, seed=seed,
+                                           **kw)
+    ts = 1.0 / imu_hz
+    spf = int(round(imu_hz / fps))
+    S = spf + 6
+    wins = []
+    for i in range(n):
+        t0 = (i - 1) / fps
+        tt = t0 + (np.arange(spf) + 1) * ts
+        accel = np.zeros((S, 3), np.float32)
+        accel[:spf, 0] = a_of(tt)
+        accel[:spf, 1] = -9.8
+        gyro = np.zeros((S, 3), np.float32)
+        wins.append(ImuWindow(gyro=jnp.asarray(gyro),
+                              accel=jnp.asarray(accel),
+                              count=jnp.asarray(spf, jnp.int32),
+                              tsample=jnp.asarray(ts, jnp.float32)))
+    return frames, t_frames, wins, pos, depths
