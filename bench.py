@@ -162,15 +162,38 @@ def phase_serial(lanes):
     #   dispatch: host cost of pushing the state pytree through a jitted
     #     near-no-op with the same arg/result structure;
     #   non-donated: the classic fe.step (fresh output allocations).
-    noop = jax.jit(lambda s, f, t: (s._replace(t=s.t + t), f[0, 0]))
-    _ = noop(st, frames[1], jnp.asarray(0.0))
+    noop = jax.jit(lambda s, f, t: (s._replace(t=s.t + t), f[0, 0]),
+                   donate_argnums=(0,))
+    st_n, _ = noop(st, frames[1], jnp.asarray(0.0))
+    jax.block_until_ready(st_n)
     t0 = time.perf_counter()
-    st_n = st
     for i in range(30):
         st_n, _ = noop(st_n, frames[1], jnp.asarray(0.05))
     jax.block_until_ready(st_n)
     dispatch_ms = (time.perf_counter() - t0) / 30 * 1e3
     st = st_n
+
+    # chunked-scan serial: one dispatch per 8 frames (lax.scan) — the
+    # deployment shape for offline replay (run_vo --chunk)
+    CH = 8
+    fchunk = jnp.stack([frames[1 + i % 2] for i in range(CH)])
+    def scan_loop(st0, n_chunks=8):
+        st_l = st0
+        times = []
+        for c in range(n_chunks):
+            tch = jnp.asarray(0.05 * (np.arange(CH) + 2 + c * CH),
+                              jnp.float32)
+            t0 = time.perf_counter()
+            st_l, outs = fe.step_scan(st_l, fchunk, tch)
+            jax.block_until_ready(st_l)
+            times.append(time.perf_counter() - t0)
+        times = np.asarray(times)
+        healthy = times < 3.0 * times.min()
+        return float(CH * healthy.sum() / times[healthy].sum()), st_l
+    st3 = fe.init()
+    st3 = fe.bootstrap(st3, frames[0], jnp.asarray(0.0))
+    jax.block_until_ready(st3)
+    fps_scan, _ = scan_loop(st3)
 
     st2 = fe.init()
     st2 = fe.bootstrap(st2, frames[0], jnp.asarray(0.0))
@@ -184,7 +207,8 @@ def phase_serial(lanes):
                 serial_ok=bool(n_healthy >= 4),
                 serial_step_ms=round(1e3 / fps, 4),
                 dispatch_overhead_ms=round(dispatch_ms, 4),
-                serial_fps_nondonated=round(float(fps_nodon), 2))
+                serial_fps_nondonated=round(float(fps_nodon), 2),
+                serial_fps_scan8=round(float(fps_scan), 2))
 
 
 def phase_batched(lanes):
@@ -293,7 +317,8 @@ def main():
     finally:
         os.unlink(tmp.name)
 
-    fps_serial = serial.get("serial_fps", 0.0)
+    fps_serial = max(serial.get("serial_fps", 0.0),
+                     serial.get("serial_fps_scan8", 0.0))
     fps_batched = batched.get("batched_fps", 0.0)
     fps = max(fps_serial, fps_batched)
     flops = stages.get("xla_flops_per_step", 0.0)
@@ -306,6 +331,18 @@ def main():
         "keyline_budget": params.KeylineMax,
         "frames": "rendered billboards, distinct per lane",
         "kl_num": serial.get("kl_num"), "klm_num": serial.get("klm_num"),
+        "serial_gap": {
+            # serial wall step vs the fused-step stage time: the
+            # residual is host dispatch + output-pytree handling,
+            # itemised here (round-2 review ask #4)
+            "serial_step_ms": serial.get("serial_step_ms"),
+            "fused_step_device_ms": stages.get("stage_ms", {}).get(
+                "full_step"),
+            "dispatch_overhead_ms": serial.get("dispatch_overhead_ms"),
+            "serial_fps_nondonated": serial.get("serial_fps_nondonated"),
+            "serial_fps_scan8": serial.get("serial_fps_scan8"),
+            "healthy_chunks": serial.get("healthy_chunks"),
+        },
         "stage_ms": stages.get("stage_ms", {}),
         "speed_of_light": stages.get("speed_of_light", {}),
         "xla_flops_per_step": flops,

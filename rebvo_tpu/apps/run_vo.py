@@ -34,6 +34,10 @@ def main(argv=None):
                          "stream and fuses stereo depth per frame")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="offline replay: advance N frames per device "
+                         "dispatch (lax.scan) — amortises host dispatch "
+                         "overhead; vision-only mono path")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--save-video", choices=["raw", "mjpeg"],
                     help="buffer the encoded input stream to "
@@ -124,6 +128,8 @@ def main(argv=None):
                                  params.ImageWidth, params.ImageHeight)
 
     state = fe.init()
+    chunk_buf = ([] if args.chunk > 1 and not stereo and not params.ImuMode
+                 else None)
     n_done = 0
     t_start = time.perf_counter()
     for item in seq:
@@ -143,6 +149,13 @@ def main(argv=None):
             frame = apply_undistort(umap, frame)
         if n_done == 0:
             state = fe.bootstrap(state, frame, jnp.asarray(t), pair)
+        elif chunk_buf is not None:
+            chunk_buf.append((frame, t))
+            if len(chunk_buf) == args.chunk:
+                fs = jnp.stack([f for f, _ in chunk_buf])
+                ts = jnp.asarray([tt for _, tt in chunk_buf], jnp.float32)
+                state, _ = fe.step_scan(state, fs, ts)
+                chunk_buf.clear()
         elif params.ImuMode and win is not None:
             # donated step: the previous state's device buffers are
             # recycled for the new state (serial-latency path)
@@ -164,6 +177,10 @@ def main(argv=None):
         if args.max_frames and n_done >= args.max_frames:
             break
 
+    if chunk_buf:
+        # flush the partial tail chunk one frame at a time
+        for f, tt in chunk_buf:
+            state, _ = fe.step_donated(state, f, jnp.asarray(tt))
     import jax
     jax.block_until_ready(state)
     wall = time.perf_counter() - t_start

@@ -268,6 +268,13 @@ class VOFrontend:
         self.step_donated = jax.jit(self.step_fn, donate_argnums=(0,))
         self.step_imu_donated = jax.jit(self.step_imu_fn,
                                         donate_argnums=(0,))
+        # multi-frame step: one dispatch advances the state over a CHUNK
+        # of frames via lax.scan — the serial path's host dispatch
+        # overhead (~0.4 ms/step on this runtime, more than the 0.3 ms
+        # device step itself) is amortised chunk-fold. Offline replay
+        # (run_vo --chunk, bench serial) uses this; live streaming keeps
+        # the per-frame entry points.
+        self.step_scan = jax.jit(self.step_scan_fn, donate_argnums=(0,))
 
     def init(self) -> VOState:
         return init_state(self.params)
@@ -448,6 +455,16 @@ class VOFrontend:
     # ------------------------------------------------------------------
     # Vision-only path (rebvo_second_t.cpp:338-382 + common tail)
     # ------------------------------------------------------------------
+
+    def step_scan_fn(self, state: VOState, frames: Array, ts: Array,
+                     ) -> Tuple[VOState, FrameOutput]:
+        """Advance over a chunk of frames ([N,H,W] + [N] timestamps) in
+        ONE compiled dispatch (lax.scan over step_fn); returns the final
+        state and the N stacked per-frame outputs."""
+        def body(st, ft):
+            f, t = ft
+            return self.step_fn(st, f, t)
+        return jax.lax.scan(body, state, (frames, ts))
 
     def step_fn(self, state: VOState, frame: Array, t: Array,
                 frame_pair: Array = None) -> Tuple[VOState, FrameOutput]:

@@ -13,6 +13,20 @@ src/mtracklib/edge_tracker.cpp:158-436):
     (alternating inward/outward from the prior displacement), with all
     acceptance tests evaluated in parallel and the first accepted
     candidate selected by argmax.
+
+Pallas decision (round 3, 2026-08-19, TPU v5e measurements): a fused
+Pallas kernel for the field-sampled matcher was ruled out on the same
+ground as the TryVelRot field-gather kernel (commit 050451b) — the
+ladder's field samples are arbitrary per-keyline flat gathers, which
+Mosaic cannot lower ('Only 2D gather is supported'; per-lane row
+indices must match the operand layout). The XLA path measures 0.20 ms
+stand-alone, but inside the fused step XLA overlaps it with the other
+stages: the whole step executes in 0.35 ms against a 0.72 ms sum of
+individually-dispatched stages, so the stand-alone stage numbers are
+dispatch-dominated and a kernel-level win would mostly vanish. The
+bytes lower bound puts the stage at ~5% of HBM peak (profiling.py),
+i.e. gather-latency-bound, the regime the TPU's vector memory cannot
+address without expressible gathers (BENCH_r03 speed_of_light).
 """
 
 from __future__ import annotations

@@ -319,18 +319,25 @@ def minimizer_rv(
         # short LM phase (so junk components of a scaled init don't mask
         # a good magnitude). All five candidates run as ONE vmapped LM
         # phase — batched gathers, same wall time as a single phase.
-        cands = jnp.stack(
-            [jnp.zeros((6,), dt), prior_X]
-            + [prior_X.at[:3].multiply(s) for s in (2.0, 4.0, 8.0)])
+        cands = jnp.stack([jnp.zeros((6,), dt), prior_X])
         Xs, Fs = jax.vmap(
             lambda x0: lm_phase(x0, init_iter)[:2])(cands)
         # reference semantics between zero/prior: prior wins ties
         base_i = jnp.where(Fs[1] <= Fs[0], 1, 0)
-        # ladder rungs only on a clear (2%) win — alias guard against a
-        # large scaled init matching the wrong texture line
-        rung_i = 2 + jnp.argmin(Fs[2:])
-        take = Fs[rung_i] < 0.98 * Fs[base_i]
-        X = Xs[jnp.where(take, rung_i, base_i)]
+        base_X = Xs[base_i]
+        base_F = Fs[base_i]
+        # Ladder rungs scale the REFINED base estimate's velocity (not
+        # the raw prior): at bootstrap the prior is zero but the refined
+        # zero-init already has the right direction at a shrunken
+        # magnitude, which is exactly what the rungs recover.
+        rungs = jnp.stack([base_X.at[:3].multiply(sc)
+                           for sc in (2.0, 4.0, 8.0)])
+        Xr, Fr = jax.vmap(lambda x0: lm_phase(x0, init_iter)[:2])(rungs)
+        rung_i = jnp.argmin(Fr)
+        # only on a clear (2%) win — alias guard against a large scaled
+        # init matching the wrong texture line
+        take = Fr[rung_i] < 0.98 * base_F
+        X = jnp.where(take, Xr[rung_i], base_X)
 
     X, F, JtJ, JtF, m_id_f, eff, h, F0 = lm_phase(X, iter_max)
 
@@ -410,14 +417,16 @@ def minimizer_v(
         return V, F, JtJ, JtF, m_id_f
 
     # Velocity scale ladder (see minimizer_rv): the robust cost has a
-    # local minimum at a shrunken translation; probe 2x/4x/8x copies of
-    # the init, each refined by a 2-iteration LM phase, as ONE vmapped
-    # batch, and take a rung only on a clear (2%) win (alias guard).
-    cands = jnp.stack([Vel * s for s in (1.0, 2.0, 4.0, 8.0)])
-    Vs, Fs = jax.vmap(lambda v0: lm_phase(v0, 2)[:2])(cands)
-    rung_i = 1 + jnp.argmin(Fs[1:])
-    take = Fs[rung_i] < 0.98 * Fs[0]
-    V = Vs[jnp.where(take, rung_i, 0)]
+    # local minimum at a shrunken translation; refine the init, then
+    # probe 2x/4x/8x copies of the REFINED estimate (which has a usable
+    # direction even from a zero init at bootstrap) as one vmapped
+    # batch, taking a rung only on a clear (2%) win (alias guard).
+    V0, F0_, *_ = lm_phase(Vel, 2)
+    rungs = jnp.stack([V0 * sc for sc in (2.0, 4.0, 8.0)])
+    Vr, Fr = jax.vmap(lambda v0: lm_phase(v0, 2)[:2])(rungs)
+    rung_i = jnp.argmin(Fr)
+    take = Fr[rung_i] < 0.98 * F0_
+    V = jnp.where(take, Vr[rung_i], V0)
 
     V, F, JtJ, JtF, m_id_f = lm_phase(V, iter_max)
 

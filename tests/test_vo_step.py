@@ -7,7 +7,7 @@ import pytest
 from rebvo_tpu.config import REBVOParameters
 from rebvo_tpu.frontend.step import VOFrontend
 from rebvo_tpu.io.trajectory import ate_rmse
-from tests.render import render_plane_seq
+from tests.render import render_billboards_seq, render_plane_seq
 
 # Small frames + small keyline budget keep CPU test time reasonable.
 SMALL = dict(width=376, height=240, zf=200.0, cx=188.0, cy=120.0, z0=3.0)
@@ -171,4 +171,33 @@ def test_step_is_vmappable():
         states, outs = stepv(states, jnp.asarray(batch[:, i]),
                              jnp.full((2,), i / 20.0))
     assert outs.nav.Pos.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(outs.nav.Pos)))
+
+
+def test_step_scan_matches_per_frame():
+    """The chunked lax.scan step (one dispatch per N frames, the offline
+    replay path) must produce exactly the per-frame step's state."""
+    import jax
+    n = 6
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.arange(n) * 0.01
+    kw = {k: v for k, v in SMALL.items() if k != "z0"}
+    frames = render_billboards_seq(n, cam_positions=pos, **kw)
+    fe = VOFrontend(small_params())
+    st0 = fe.init()
+    st0 = fe.bootstrap(st0, jnp.asarray(frames[0]), jnp.asarray(0.0))
+
+    st_a = st0
+    for i in range(1, n):
+        st_a, _ = fe.step(st_a, jnp.asarray(frames[i]), jnp.asarray(i / 20.0))
+
+    fs = jnp.stack([jnp.asarray(frames[i]) for i in range(1, n)])
+    ts = jnp.asarray([i / 20.0 for i in range(1, n)], jnp.float32)
+    st_b, outs = fe.step_scan(st0, fs, ts)
+
+    for la, lb in zip(jax.tree_util.tree_leaves(st_a),
+                      jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # stacked outputs carry each frame's nav
+    assert outs.nav.Pos.shape == (n - 1, 3)
     assert np.all(np.isfinite(np.asarray(outs.nav.Pos)))
