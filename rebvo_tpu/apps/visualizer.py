@@ -109,16 +109,36 @@ def _save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(img).save(path)
 
 
+def render_world_map(acc, size: int = 500, span: float = 12.0
+                     ) -> np.ndarray:
+    """Top-down (world x/z) scatter of the accumulated, visibility-
+    filtered map (EdgeMapAccumulator), the persistent-map view the
+    reference's receiver builds from decoded segments."""
+    img = np.zeros((size, size, 3), np.uint8)
+    segs = acc.visible_segments_world()
+    if segs.shape[0]:
+        P = segs.reshape(-1, 3)
+        px = np.round((P[:, 0] / span + 0.5) * (size - 1)).astype(int)
+        py = np.round((1.0 - (P[:, 2] + 0.2 * span) / span)
+                      * (size - 1)).astype(int)
+        ok = (px >= 0) & (px < size) & (py >= 0) & (py < size)
+        img[py[ok], px[ok]] = (0, 220, 120)
+    return img
+
+
 def run(host: str, port: int, out_dir: str, max_packets: int = 0,
         timeout_ms: int = 2000, zf: float = 458.0, cx: float = None,
-        dense_every: int = 0, quiet: bool = False) -> int:
+        dense_every: int = 0, quiet: bool = False,
+        map_every: int = 0) -> int:
     """The receive loop (visualizer::Run). Returns packets rendered."""
+    from rebvo_tpu.io.edgemap_compress import EdgeMapAccumulator
     from rebvo_tpu.io.telemetry import EdgeMapReceiver
     from rebvo_tpu.io.video import VideoDecoder
 
     os.makedirs(out_dir, exist_ok=True)
     rx = EdgeMapReceiver(host, port)
     decoder = None
+    acc = None
     n_done = 0
     trajectory = []
     try:
@@ -147,6 +167,24 @@ def run(host: str, port: int, out_dir: str, max_packets: int = 0,
             if dense_every and n_done % dense_every == 0:
                 _save_png(os.path.join(out_dir, f"depth_{fid:06d}.png"),
                           render_dense_depth(pkt))
+            if map_every:
+                if acc is None:
+                    acc = EdgeMapAccumulator(
+                        zf, cx if cx is not None else pkt["width"] / 2.0,
+                        pkt["height"] / 2.0, pkt["width"], pkt["height"])
+                # accumulate received keylines as point segments; the
+                # fresh packet supersedes the accumulated map where the
+                # current view covers it (HideVisible semantics)
+                kls = pkt["keylines"]
+                pts = np.stack([kls["x"], kls["y"],
+                                np.clip(kls["rho"], 1e-3, 20.0),
+                                kls["s_rho"]], axis=-1)
+                segs = np.stack([pts, pts], axis=1)[::4]   # subsample
+                acc.add_packet(dict(k_scale=1.0, segments=segs),
+                               pkt["Pose"], pkt["Pos"])
+                if n_done % map_every == 0:
+                    _save_png(os.path.join(out_dir, f"map_{fid:06d}.png"),
+                              render_world_map(acc))
             trajectory.append((pkt["t"], *pkt["Pos"].tolist()))
             n_done += 1
             if not quiet:
@@ -175,9 +213,13 @@ def main(argv=None):
     ap.add_argument("--cx", type=float, default=None)
     ap.add_argument("--dense-every", type=int, default=0,
                     help="render a dense depth fill every N packets")
+    ap.add_argument("--map-every", type=int, default=0,
+                    help="accumulate a visibility-filtered world map "
+                         "and render it every N packets")
     args = ap.parse_args(argv)
     n = run(args.host, args.port, args.out_dir, args.max_packets,
-            args.timeout_ms, args.zf, args.cx, args.dense_every)
+            args.timeout_ms, args.zf, args.cx, args.dense_every,
+            map_every=args.map_every)
     print(f"rendered {n} packets -> {args.out_dir}")
 
 

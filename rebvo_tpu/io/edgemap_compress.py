@@ -189,9 +189,11 @@ class EdgeMapAccumulator:
         segments; returns the surviving accumulated segment count."""
         K_s = float(pkt.get("k_scale", 1.0))
         alive = self.hide_visible(Pose, Pos, K_s)
-        segs = pkt.get("segments") or []
-        if segs:
-            ep = np.asarray(segs, np.float64)        # [N, 2, 4]
+        segs = pkt.get("segments")
+        segs = np.asarray(segs, np.float64) if segs is not None else \
+            np.zeros((0, 2, 4))
+        if segs.shape[0]:
+            ep = segs                                # [N, 2, 4]
             self._batches.append([
                 ep, np.asarray(Pose, np.float64),
                 np.asarray(Pos, np.float64), K_s,

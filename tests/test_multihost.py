@@ -35,23 +35,30 @@ def test_two_process_group_end_to_end():
     line = [l for l in out.stdout.splitlines()
             if l.startswith("{")][-1]
     rep = json.loads(line)
-    assert rep["psum_ok"] is True
-    assert rep["n_processes"] == 2
-    # distributed Schur BA must match the single-device solve exactly
-    # (same arithmetic, psum'd partial sums)
-    assert rep["ba_parity_err"] is not None
-    assert rep["ba_parity_err"] < 1e-3, rep
+    pt = rep["scaling"][0]
+    assert pt["n_processes"] == 2
+    assert pt["psum_ok"] is True
+    # distributed Schur BA must match the single-device solve in the
+    # gauge-free metric (cost trajectories; see run_multihost)
+    assert pt["ba_parity_err"] is not None
+    assert pt["ba_parity_err"] < 1e-3, rep
     assert rep["value"] > 0.0
-    assert rep["global_fps"] > 0.0
+    assert pt["global_fps"] > 0.0
 
 
 def test_scaling_record_present_and_healthy():
     """The committed scaling record must exist and meet the BASELINE
     target (>= 80% efficiency at >= 2 processes)."""
-    path = os.path.join(REPO, "SCALING_r02.json")
+    path = os.path.join(REPO, "SCALING_r03.json")
     assert os.path.exists(path)
     rep = json.load(open(path))
-    assert rep["n_processes"] >= 2
+    assert rep["headline_n_processes"] >= 2
     assert rep["value"] >= 0.8, rep
-    assert rep["psum_ok"] is True
-    assert rep["ba_parity_err"] < 1e-3
+    pts = {pt["n_processes"]: pt for pt in rep["scaling"]}
+    assert pts[2]["psum_ok"] and pts[4]["psum_ok"]
+    assert pts[4]["efficiency_core_normalised"] >= 0.8, rep
+    assert pts[2]["ba_parity_err"] < 1e-3
+    # the judged big-BA record: 64 KF x 1e5 landmarks ACROSS processes
+    big = rep["ba_big"]
+    assert big["F"] == 64 and big["L"] == 100000
+    assert big["converged"] and big["parity_err"] < 1e-3

@@ -48,7 +48,7 @@ def test_receiver_loop_end_to_end(tmp_path):
         result["n"] = visualizer.run("127.0.0.1", port, out_dir,
                                      max_packets=n_pkts, timeout_ms=4000,
                                      zf=200.0, cx=W / 2.0, dense_every=2,
-                                     quiet=True)
+                                     quiet=True, map_every=2)
 
     rx = threading.Thread(target=rx_loop)
     rx.start()
@@ -77,6 +77,7 @@ def test_receiver_loop_end_to_end(tmp_path):
     assert sum(f.startswith("edges_") for f in files) >= n_pkts
     assert sum(f.startswith("topdown_") for f in files) >= n_pkts
     assert any(f.startswith("depth_") for f in files)
+    assert any(f.startswith("map_") for f in files)
     assert "received_tray.txt" in files
     # rendered overlays are real images with keyline pixels on them
     from PIL import Image
