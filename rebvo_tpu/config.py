@@ -188,6 +188,10 @@ class REBVOParameters:
     # dist_thresh=10, tolerance=0 (rebvo_second_t.cpp:438,442); the step
     # bounds are the fixed budgets replacing its unbounded chain walks.
     KFDistThresh: float = 10.0     # epipolar prune distance (px)
+    KFMinBaselinePx: float = 2.0   # below this expected disparity
+                                   # (zfm*|t|*mean_rho) the KF epipolar
+                                   # correct/prune is skipped (the
+                                   # essential matrix is degenerate)
     KFChainSteps: int = 6          # chain-descent steps per correction
     KFAugIters: int = 4            # match-propagation iterations
     # KF pose re-anchor acceptance: an innovation chi^2 gate. The
@@ -401,7 +405,8 @@ _SECTION_FIELDS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("ProcesorConfig", ("cpuSetAffinity", "cpu0", "cpu1", "cpu2")),
     ("TPU", ("KeylineMax", "MatchMaxSteps", "StereoSearchRange",
              "StereoMatchMaxSteps", "KFDistThresh", "KFChainSteps",
-             "KFAugIters", "KFDriftRotStd", "KFDriftTransStd",
+             "KFAugIters", "KFMinBaselinePx",
+             "KFDriftRotStd", "KFDriftTransStd",
              "KFAlignRotUncertMax", "KFAlignTransUncertMax",
              "MatchFieldStride", "FieldRadius", "MeshDataAxis",
              "UseBf16Images", "UsePallas", "NavLogCap")),

@@ -188,17 +188,32 @@ def kf_relative_pose(kf: KFCarry, Pose: Array, Pos: Array):
 
 def correct_and_augment(kf: KFCarry, klm: KeylineMap, Pose: Array,
                         Pos: Array, zfm: float, *, dist_thresh: float,
-                        chain_steps: int, aug_iters: int):
+                        chain_steps: int, aug_iters: int,
+                        min_baseline_px: float = 2.0):
     """The full per-frame maintenance block (rebvo_second_t.cpp:429-444):
     forward chains through the inverted back matches, epipolar
     correct + augment + prune in both directions. Returns the updated
-    (kf map m_id_f, frame map m_id_kf, fow_m, back_m)."""
+    (kf map m_id_f, frame map m_id_kf, fow_m, back_m).
+
+    Degenerate-baseline guard (beyond the reference, whose pipeline
+    never runs this block in production): when the keyframe-to-frame
+    translation is so small that the expected disparity
+    zfm * |t| * mean(rho) is under `min_baseline_px`, the essential
+    matrix is numerically meaningless — the epipolar distance would
+    prune nearly every true match, collapsing the chains and forcing a
+    keyframe save every frame. In that regime the raw match chains are
+    kept untouched."""
+    nv = jnp.maximum(jnp.sum(klm.valid), 1)
+    rho_mean = jnp.sum(jnp.where(klm.valid, klm.rho, 0.0)) / nv
+
     # --- backward direction: frame keylines -> KF map -------------------
     # E_back from R = kf.Pose^T Pose, t = Pose^T (kf.Pos - Pos)
     # (correctAugmentate, kfvo.cpp:893-897).
     R_b = kf.Pose.T @ Pose
     t_b = Pose.T @ (kf.Pos - Pos)
     E_b = essential_matrix(R_b, t_b)
+    strong_b = zfm * jnp.linalg.norm(t_b) * rho_mean > min_baseline_px
+    m_raw = jnp.where(klm.valid, klm.m_id_kf, -1)
     m_kf = klm.m_id_kf
     m_kf, _ = chain_correct(klm.px, klm.py, m_kf, kf.klm, E_b, zfm,
                             chain_steps)
@@ -206,6 +221,7 @@ def correct_and_augment(kf: KFCarry, klm: KeylineMap, Pose: Array,
     m_kf, d_b = chain_correct(klm.px, klm.py, m_kf, kf.klm, E_b, zfm,
                               chain_steps)
     m_kf = jnp.where((d_b > dist_thresh) | (~klm.valid), -1, m_kf)
+    m_kf = jnp.where(strong_b, m_kf, m_raw)
     back_m = jnp.sum(m_kf >= 0).astype(jnp.int32)
 
     # --- forward direction: KF keylines -> frame map --------------------
@@ -217,14 +233,17 @@ def correct_and_augment(kf: KFCarry, klm: KeylineMap, Pose: Array,
     R_f = Pose.T @ kf.Pose
     t_f = kf.Pose.T @ (Pos - kf.Pos)
     E_f = essential_matrix(R_f, t_f)
+    strong_f = zfm * jnp.linalg.norm(t_f) * rho_mean > min_baseline_px
     inv_old_to_new = invert_matches(klm.m_id, klm.valid, klm.K)
     m_f = build_forward_match(kf.klm.m_id_f, kf.klm.valid, inv_old_to_new)
+    m_f_raw = m_f
     m_f, _ = chain_correct(kf.klm.px, kf.klm.py, m_f, klm, E_f, zfm,
                            chain_steps)
     m_f = augment_matches(m_f, kf.klm.p_id, kf.klm.n_id, aug_iters)
     m_f, d_f = chain_correct(kf.klm.px, kf.klm.py, m_f, klm, E_f, zfm,
                              chain_steps)
     m_f = jnp.where((d_f > dist_thresh) | (~kf.klm.valid), -1, m_f)
+    m_f = jnp.where(strong_f, m_f, m_f_raw)
     fow_m = jnp.sum(m_f >= 0).astype(jnp.int32)
 
     return m_f, m_kf, fow_m, back_m
@@ -251,7 +270,8 @@ def track_keyframe(
     # --- chain maintenance (only meaningful with a live keyframe) -------
     m_f, m_kf, fow_m, back_m = correct_and_augment(
         kf, klm, Pose, Pos, zfm, dist_thresh=p.KFDistThresh,
-        chain_steps=p.KFChainSteps, aug_iters=p.KFAugIters)
+        chain_steps=p.KFChainSteps, aug_iters=p.KFAugIters,
+        min_baseline_px=p.KFMinBaselinePx)
     m_f = jnp.where(run, m_f, jnp.where(have_kf, kf.klm.m_id_f, -1))
     m_kf = jnp.where(run, m_kf, jnp.where(have_kf, klm.m_id_kf, -1))
     fow_m = jnp.where(run, fow_m, 0)
