@@ -130,12 +130,19 @@ def parity_params(seq_dir: str):
     )
 
 
-def run_reference(seq_dir: str, timeout: float = 600.0):
-    """Run the reference binary on the dataset; returns (positions,
-    wall_seconds) or (None, log) on failure."""
+def write_parity_config(seq_dir: str) -> str:
+    """Write the shared GlobalConfig consumed by BOTH sides; returns its
+    path (idempotent — the config is a pure function of seq_dir)."""
     from rebvo_tpu.config import save_config
     cfg = os.path.join(seq_dir, "GlobalConfig_parity")
     save_config(parity_params(seq_dir), cfg)
+    return cfg
+
+
+def run_reference(seq_dir: str, timeout: float = 600.0):
+    """Run the reference binary on the dataset; returns (positions,
+    wall_seconds) or (None, log) on failure."""
+    cfg = write_parity_config(seq_dir)
     env = dict(os.environ)
     env["LD_LIBRARY_PATH"] = (os.path.join(REPO_ROOT, "native") +
                               ":" + env.get("LD_LIBRARY_PATH", ""))
@@ -178,7 +185,7 @@ def run_repo(seq_dir: str, timeout: float = 1800.0):
     """Run this repo's VO (CPU backend, subprocess for isolation);
     returns (positions, wall_seconds)."""
     out_dir = os.path.join(seq_dir, "repo_out")
-    cfg = os.path.join(seq_dir, "GlobalConfig_parity")
+    cfg = write_parity_config(seq_dir)
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "rebvo_tpu.apps.run_vo", "--config", cfg,
@@ -271,12 +278,15 @@ def main(argv=None):
     ap.add_argument("--seqs", default="lateral_arc,dolly,loop")
     args = ap.parse_args(argv)
 
+    # name-keyed scene seeds: the dataset must not depend on which subset
+    # of sequences a run evaluates (the recorded PARITY seeds)
+    seq_seed = {"lateral_arc": 7, "dolly": 20, "loop": 33}
     results = []
     for i, kind in enumerate(args.seqs.split(",")):
         seq_dir = os.path.join(args.out_dir, kind)
         os.makedirs(seq_dir, exist_ok=True)
         results.append(evaluate_sequence(seq_dir, kind, args.n_frames,
-                                         seed=7 + 13 * i,
+                                         seed=seq_seed.get(kind, 7 + 13 * i),
                                          skip_ref=args.skip_ref,
                                          reuse=args.reuse))
 
