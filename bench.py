@@ -47,7 +47,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CANARY_HEALTHY_MS = 1.0
 BATCH = 16
+N_SERIAL_FRAMES = 16          # distinct rendered frames cycled by the serial loop
 CACHE_DIR = "/tmp/jax_bench_cache"
+PARTIAL_PATH = os.path.join(tempfile.gettempdir(), "rebvo_bench_partial.json")
+# Per-phase subprocess wall budgets. Round-3 post-mortem: one uncaught
+# TimeoutExpired at 1200 s killed the whole bench with zero numbers
+# recorded (BENCH_r03.json rc=1). Budgets are now per-phase, caught, and
+# a timed-out phase is skipped — the final JSON line always prints.
+PHASE_TIMEOUT_S = dict(warm=900, serial=600, scan=420, batched=420,
+                       stages=420)
 
 
 def synth_frames(params, n, seed=0):
@@ -121,19 +129,25 @@ def _setup():
     return params, VOFrontend(params)
 
 
-def phase_serial(lanes):
+def phase_serial(data):
     """Serial latency, measured in chunks with healthy-prefix extraction:
     the runtime's spontaneous degraded mode strikes the serial loop with
     high probability, so the per-chunk times are clustered (healthy ~X,
-    degraded ~80X) and the healthy cluster is the honest measurement."""
+    degraded ~80X) and the healthy cluster is the honest measurement.
+    The loop cycles through N_SERIAL_FRAMES distinct rendered frames of a
+    moving camera (round-3 review: a two-frame alternation flattered the
+    matcher with a near-static scene)."""
     import jax
     import jax.numpy as jnp
     params, fe = _setup()
-    frames = [jnp.asarray(lanes[0, i]) for i in range(lanes.shape[1])]
+    serial = data["serial"]
+    frames = [jnp.asarray(serial[i]) for i in range(serial.shape[0])]
+    ncyc = len(frames) - 1
     state = fe.init()
     state = fe.bootstrap(state, frames[0], jnp.asarray(0.0))
     st, out = fe.step(state, frames[1], jnp.asarray(0.05))
     jax.block_until_ready(st)
+    all_times = []
     def run_loop(step_fn, st0, n_chunks=12, chunk=5):
         times = []
         st_l = st0
@@ -142,12 +156,13 @@ def phase_serial(lanes):
         for _ in range(n_chunks):
             t0 = time.perf_counter()
             for _ in range(chunk):
-                st_l, out_l = step_fn(st_l, frames[1 + i % 2],
+                st_l, out_l = step_fn(st_l, frames[1 + i % ncyc],
                                       jnp.asarray(0.05 * (i + 2)))
                 i += 1
             jax.block_until_ready(st_l)
             times.append(time.perf_counter() - t0)
         times = np.asarray(times)
+        all_times.append(times)
         healthy = times < 3.0 * times.min()
         fps = chunk * int(healthy.sum()) / times[healthy].sum()
         return float(fps), int(healthy.sum()), out_l, st_l
@@ -173,48 +188,72 @@ def phase_serial(lanes):
     dispatch_ms = (time.perf_counter() - t0) / 30 * 1e3
     st = st_n
 
-    # chunked-scan serial: one dispatch per 8 frames (lax.scan) — the
-    # deployment shape for offline replay (run_vo --chunk)
-    CH = 8
-    fchunk = jnp.stack([frames[1 + i % 2] for i in range(CH)])
-    def scan_loop(st0, n_chunks=8):
-        st_l = st0
-        times = []
-        for c in range(n_chunks):
-            tch = jnp.asarray(0.05 * (np.arange(CH) + 2 + c * CH),
-                              jnp.float32)
-            t0 = time.perf_counter()
-            st_l, outs = fe.step_scan(st_l, fchunk, tch)
-            jax.block_until_ready(st_l)
-            times.append(time.perf_counter() - t0)
-        times = np.asarray(times)
-        healthy = times < 3.0 * times.min()
-        return float(CH * healthy.sum() / times[healthy].sum()), st_l
-    st3 = fe.init()
-    st3 = fe.bootstrap(st3, frames[0], jnp.asarray(0.0))
-    jax.block_until_ready(st3)
-    fps_scan, _ = scan_loop(st3)
-
     st2 = fe.init()
     st2 = fe.bootstrap(st2, frames[0], jnp.asarray(0.0))
     st2, _ = fe.step(st2, frames[1], jnp.asarray(0.05))
     jax.block_until_ready(st2)
     fps_nodon, _, _, _ = run_loop(fe.step, st2, n_chunks=6)
 
+    chunk_ms = np.concatenate(all_times) * 1e3
+    n_chunks_total = chunk_ms.size
+    n_degraded = int((chunk_ms >= 3.0 * chunk_ms.min()).sum())
     return dict(serial_fps=round(float(fps), 2),
                 kl_num=int(out.nav.kl_num), klm_num=int(out.nav.klm_num),
                 healthy_chunks=f"{n_healthy}/12",
                 serial_ok=bool(n_healthy >= 4),
+                # filtered-out fraction as a first-class health metric
+                # (round-3 review weak#7): how much of the measurement was
+                # discarded by the healthy-prefix filter, and the raw
+                # per-chunk wall times for audit.
+                degraded_chunk_fraction=round(n_degraded / n_chunks_total, 4),
+                chunk_ms=[round(float(t), 3) for t in chunk_ms],
                 serial_step_ms=round(1e3 / fps, 4),
                 dispatch_overhead_ms=round(dispatch_ms, 4),
-                serial_fps_nondonated=round(float(fps_nodon), 2),
-                serial_fps_scan8=round(float(fps_scan), 2))
+                serial_fps_nondonated=round(float(fps_nodon), 2))
 
 
-def phase_batched(lanes):
+def phase_scan(data):
+    """Chunked-scan serial: one dispatch per 8 frames (lax.scan) — the
+    deployment shape for offline replay (run_vo --chunk). Own subprocess
+    so a hang here cannot take the plain-serial numbers down with it."""
     import jax
     import jax.numpy as jnp
     params, fe = _setup()
+    serial = data["serial"]
+    frames = [jnp.asarray(serial[i]) for i in range(serial.shape[0])]
+    ncyc = len(frames) - 1
+    CH = 8
+    st = fe.init()
+    st = fe.bootstrap(st, frames[0], jnp.asarray(0.0))
+    # compile warmup (not timed)
+    fwarm = jnp.stack([frames[1 + i % ncyc] for i in range(CH)])
+    twarm = jnp.asarray(0.05 * (np.arange(CH) + 2), jnp.float32)
+    st, _ = fe.step_scan(st, fwarm, twarm)
+    jax.block_until_ready(st)
+    times = []
+    n_chunks = 8
+    for c in range(n_chunks):
+        fchunk = jnp.stack(
+            [frames[1 + (c * CH + i) % ncyc] for i in range(CH)])
+        tch = jnp.asarray(0.05 * (np.arange(CH) + 2 + c * CH), jnp.float32)
+        t0 = time.perf_counter()
+        st, outs = fe.step_scan(st, fchunk, tch)
+        jax.block_until_ready(st)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    healthy = times < 3.0 * times.min()
+    fps_scan = float(CH * healthy.sum() / times[healthy].sum())
+    return dict(serial_fps_scan8=round(fps_scan, 2),
+                degraded_chunk_fraction=round(
+                    float((~healthy).sum()) / times.size, 4),
+                chunk_ms=[round(float(t) * 1e3, 3) for t in times])
+
+
+def phase_batched(data):
+    import jax
+    import jax.numpy as jnp
+    params, fe = _setup()
+    lanes = data["lanes"]
     B = lanes.shape[0]
     states = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), fe.init())
@@ -234,11 +273,12 @@ def phase_batched(lanes):
     return dict(batched_fps=round(fps, 2), batch=B)
 
 
-def phase_stages(lanes):
+def phase_stages(data):
     import jax
     import jax.numpy as jnp
     from rebvo_tpu import profiling
     params, fe = _setup()
+    lanes = data["lanes"]
     frames = [jnp.asarray(lanes[0, i]) for i in range(lanes.shape[1])]
     state = fe.init()
     state = fe.bootstrap(state, frames[0], jnp.asarray(0.0))
@@ -253,15 +293,61 @@ def phase_stages(lanes):
                 xla_flops_per_step=ca["flops"])
 
 
-PHASES = dict(serial=phase_serial, batched=phase_batched,
-              stages=phase_stages)
+def phase_warm(data):
+    """Populate the persistent XLA compilation cache for every program the
+    measurement phases run, so their subprocesses start compile-warm and
+    fit comfortably inside their wall budgets (round-3 review ask #1)."""
+    import jax
+    import jax.numpy as jnp
+    from rebvo_tpu import profiling
+    t_start = time.perf_counter()
+    params, fe = _setup()
+    lanes, serial = data["lanes"], data["serial"]
+    frames = [jnp.asarray(serial[i]) for i in range(3)]
+    st = fe.init()
+    st = fe.bootstrap(st, frames[0], jnp.asarray(0.0))
+    st, _ = fe.step(st, frames[1], jnp.asarray(0.05))
+    st, _ = fe.step_donated(st, frames[2], jnp.asarray(0.10))
+    noop = jax.jit(lambda s, f, t: (s._replace(t=s.t + t), f[0, 0]),
+                   donate_argnums=(0,))
+    st, _ = noop(st, frames[1], jnp.asarray(0.0))
+    CH = 8
+    fchunk = jnp.stack([frames[1 + i % 2] for i in range(CH)])
+    tch = jnp.asarray(0.05 * (np.arange(CH) + 2), jnp.float32)
+    st2 = fe.init()
+    st2 = fe.bootstrap(st2, frames[0], jnp.asarray(0.0))
+    st2, _ = fe.step_scan(st2, fchunk, tch)
+    B = lanes.shape[0]
+    states = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), fe.init())
+    stepv = jax.jit(jax.vmap(fe.step_fn))
+    bootv = jax.jit(jax.vmap(fe.bootstrap_fn))
+    states = bootv(states, jnp.asarray(lanes[:, 0]), jnp.zeros((B,)))
+    states, _ = stepv(states, jnp.asarray(lanes[:, 1]),
+                      jnp.full((B,), 0.05))
+    jax.block_until_ready(states)
+    st3 = fe.init()
+    st3 = fe.bootstrap(st3, frames[0], jnp.asarray(0.0))
+    st3, _ = fe.step(st3, frames[1], jnp.asarray(0.05))
+    profiling.stage_breakdown(fe, st3, frames[2], n=1)
+    return dict(warmed=True,
+                warm_wall_s=round(time.perf_counter() - t_start, 1))
+
+
+PHASES = dict(warm=phase_warm, serial=phase_serial, scan=phase_scan,
+              batched=phase_batched, stages=phase_stages)
 
 
 def child(phase: str, lanes_path: str):
-    lanes = np.load(lanes_path)["lanes"]
+    data = np.load(lanes_path)
+    if phase == "warm":
+        # no canary bracketing: the warm phase only compiles
+        result = PHASES[phase](data)
+        print("PHASE_RESULT " + json.dumps(result))
+        sys.exit(0)
     canary_ms = _make_canary()
     c0 = canary_ms()
-    result = PHASES[phase](lanes)
+    result = PHASES[phase](data)
     c1 = canary_ms()
     if "serial_ok" in result:
         # the serial phase self-validates via its healthy-prefix chunks
@@ -275,25 +361,48 @@ def child(phase: str, lanes_path: str):
     sys.exit(0 if healthy else 3)
 
 
-def run_phase(phase: str, lanes_path: str, attempts: int = 4):
+def _flush_partial(partial: dict):
+    """Per-phase result flushing to disk (round-3 review weak#1): a crash
+    later in main() can no longer lose already-measured phases."""
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(partial, f)
+    except OSError:
+        pass
+
+
+def run_phase(phase: str, lanes_path: str, attempts: int = 4,
+              partial: dict | None = None):
     env = dict(os.environ)
     env["REBVO_BENCH_PHASE"] = phase
     env["REBVO_BENCH_LANES"] = lanes_path
+    timeout_s = PHASE_TIMEOUT_S.get(phase, 600)
     last = None
     for attempt in range(attempts):
-        pr = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                            env=env, capture_output=True, text=True,
-                            timeout=1200)
+        try:
+            pr = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                env=env, capture_output=True, text=True,
+                                timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            # subprocess.run kills the child on timeout; retry fresh. On
+            # repeated timeouts the phase is skipped (returns last/None)
+            # and the remaining phases still run + report.
+            print(f"# phase {phase} attempt {attempt}: timed out after "
+                  f"{timeout_s}s (child killed; retrying)", file=sys.stderr)
+            continue
         for line in pr.stdout.splitlines():
             if line.startswith("PHASE_RESULT "):
                 last = json.loads(line[len("PHASE_RESULT "):])
                 last["healthy"] = (pr.returncode == 0)
         if last is not None and pr.returncode == 0:
-            return last
+            break
         print(f"# phase {phase} attempt {attempt}: "
               f"{'degraded' if last else 'failed'}"
               f"{'' if last else ': ' + pr.stderr[-800:]}",
               file=sys.stderr)
+    if partial is not None and last is not None:
+        partial[phase] = last
+        _flush_partial(partial)
     return last
 
 
@@ -307,18 +416,25 @@ def main():
     from rebvo_tpu import profiling
     params = REBVOParameters()
     lanes = rendered_lanes(params, 3, BATCH)
+    # distinct moving-camera frames for the serial loop (round-3 weak#6)
+    serial_lane = _render_lane((params.ImageWidth, params.ImageHeight,
+                                params.zf_mean, params.PPx, params.PPy,
+                                N_SERIAL_FRAMES, 101))
     tmp = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
-    np.savez(tmp.name, lanes=lanes)
+    np.savez(tmp.name, lanes=lanes, serial=np.asarray(serial_lane))
 
+    partial = {}
     try:
-        serial = run_phase("serial", tmp.name) or {}
-        batched = run_phase("batched", tmp.name) or {}
-        stages = run_phase("stages", tmp.name) or {}
+        warm = run_phase("warm", tmp.name, attempts=2, partial=partial) or {}
+        serial = run_phase("serial", tmp.name, partial=partial) or {}
+        scan = run_phase("scan", tmp.name, partial=partial) or {}
+        batched = run_phase("batched", tmp.name, partial=partial) or {}
+        stages = run_phase("stages", tmp.name, partial=partial) or {}
     finally:
         os.unlink(tmp.name)
 
     fps_serial = max(serial.get("serial_fps", 0.0),
-                     serial.get("serial_fps_scan8", 0.0))
+                     scan.get("serial_fps_scan8", 0.0))
     fps_batched = batched.get("batched_fps", 0.0)
     fps = max(fps_serial, fps_batched)
     flops = stages.get("xla_flops_per_step", 0.0)
@@ -340,9 +456,20 @@ def main():
                 "full_step"),
             "dispatch_overhead_ms": serial.get("dispatch_overhead_ms"),
             "serial_fps_nondonated": serial.get("serial_fps_nondonated"),
-            "serial_fps_scan8": serial.get("serial_fps_scan8"),
+            "serial_fps_scan8": scan.get("serial_fps_scan8"),
             "healthy_chunks": serial.get("healthy_chunks"),
         },
+        "degraded_chunk_fraction": {
+            "serial": serial.get("degraded_chunk_fraction"),
+            "scan": scan.get("degraded_chunk_fraction"),
+        },
+        "chunk_ms": {
+            "serial": serial.get("chunk_ms"),
+            "scan": scan.get("chunk_ms"),
+        },
+        "serial_frames": f"{N_SERIAL_FRAMES} distinct rendered frames, "
+                         "moving camera",
+        "warm_wall_s": warm.get("warm_wall_s"),
         "stage_ms": stages.get("stage_ms", {}),
         "speed_of_light": stages.get("speed_of_light", {}),
         "xla_flops_per_step": flops,
@@ -353,11 +480,13 @@ def main():
                 "see speed_of_light for the meaningful utilisation",
         "phase_health": {
             "serial": serial.get("healthy"),
+            "scan": scan.get("healthy"),
             "batched": batched.get("healthy"),
             "stages": stages.get("healthy"),
         },
         "canaries": {
             "serial": serial.get("canary_ms"),
+            "scan": scan.get("canary_ms"),
             "batched": batched.get("canary_ms"),
             "stages": stages.get("canary_ms"),
         },
