@@ -82,6 +82,36 @@ class PoseGraphLog:
 # ---------------------------------------------------------------------------
 
 
+def problem_from_log(log: "PoseGraphLog", dtype=jnp.float32):
+    """Build a chain PoseGraphProblem from a VOSystem pose log.
+
+    Measurement semantics (rebvo_second_t.cpp:326-334 / VOSystem):
+    rel_pose = [-R·V ; log(R)] between consecutive frames, with R the
+    backward frame rotation — i.e. node i+1 = node i composed with
+    (exp(w_ij), t_ij) where t_ij = rel_pose[:3]·K in frame i. The full
+    6x6 transported information matrices become the edge weights.
+    Returns (problem, n_nodes).
+    """
+    n = len(log.meas)
+    if n == 0:
+        raise ValueError("empty pose log")
+    t_ij = np.stack([m.rel_pose[:3] * m.K for m in log.meas])
+    w_ij = np.stack([m.rel_pose[3:] for m in log.meas])
+    info = np.stack([m.W for m in log.meas])
+    # symmetrize + floor: pinv transport can leave tiny asymmetries and
+    # near-null directions (the rotation block of J_rp_x is exact, the
+    # translation block couples V and W)
+    info = 0.5 * (info + np.swapaxes(info, 1, 2))
+    prob = PoseGraphProblem(
+        i=jnp.arange(n, dtype=jnp.int32),
+        j=jnp.arange(1, n + 1, dtype=jnp.int32),
+        t_ij=jnp.asarray(t_ij, dtype),
+        w_ij=jnp.asarray(w_ij, dtype),
+        info=jnp.asarray(info, dtype),
+        valid=jnp.ones((n,), bool))
+    return prob, n + 1
+
+
 class PoseGraphProblem(NamedTuple):
     """Fixed-size constraint set between N nodes.
 
@@ -93,7 +123,9 @@ class PoseGraphProblem(NamedTuple):
     j: Array        # [E] int32
     t_ij: Array     # [E, 3]
     w_ij: Array     # [E, 3] rotation measurement (Lie)
-    info: Array     # [E] scalar information weight
+    info: Array     # [E] scalar weight OR [E,6,6] full information
+                    # matrices (residual order [t(3); rot(3)]) — the
+                    # estimator covariance transported by VOSystem
     valid: Array    # [E] bool
 
 
@@ -159,15 +191,22 @@ def optimize_pose_graph(R0: Array, p0: Array, prob: PoseGraphProblem,
         Je = jax.vmap(lambda ei: jax.jacfwd(edge_res_local)(zeros12, ei))(
             jnp.arange(prob.i.shape[0]))          # [E, 6, 12]
 
-        w = jnp.where(prob.valid, prob.info, 0.0)
+        # Edge weights: scalar [E] info broadcasts to w·I6; full [E,6,6]
+        # information matrices weight each residual component (and their
+        # correlations) by the estimator's actual confidence.
+        if prob.info.ndim == 1:
+            Wm = (jnp.where(prob.valid, prob.info, 0.0)[:, None, None] *
+                  jnp.eye(6, dtype=dt))
+        else:
+            Wm = jnp.where(prob.valid[:, None, None], prob.info, 0.0)
         # Assemble dense H [6N, 6N], b [6N] by scatter-add.
         Ji = Je[:, :, 0:6]                        # wrt node i (dw, dp)
         Jj = Je[:, :, 6:12]
-        Hii = jnp.einsum("eak,eal,e->ekl", Ji, Ji, w, precision=_HI)
-        Hjj = jnp.einsum("eak,eal,e->ekl", Jj, Jj, w, precision=_HI)
-        Hij = jnp.einsum("eak,eal,e->ekl", Ji, Jj, w, precision=_HI)
-        bi = jnp.einsum("eak,ea,e->ek", Ji, res, w, precision=_HI)
-        bj = jnp.einsum("eak,ea,e->ek", Jj, res, w, precision=_HI)
+        Hii = jnp.einsum("eak,eab,ebl->ekl", Ji, Wm, Ji, precision=_HI)
+        Hjj = jnp.einsum("eak,eab,ebl->ekl", Jj, Wm, Jj, precision=_HI)
+        Hij = jnp.einsum("eak,eab,ebl->ekl", Ji, Wm, Jj, precision=_HI)
+        bi = jnp.einsum("eak,eab,eb->ek", Ji, Wm, res, precision=_HI)
+        bj = jnp.einsum("eak,eab,eb->ek", Jj, Wm, res, precision=_HI)
 
         H = jnp.zeros((N, 6, N, 6), dt)
         H = H.at[prob.i, :, prob.i, :].add(Hii)
@@ -189,7 +228,8 @@ def optimize_pose_graph(R0: Array, p0: Array, prob: PoseGraphProblem,
         dp = dx[:, 3:6]
         R_new = jax.vmap(lambda w_, Rn: so3_exp(w_) @ Rn)(dw, R)
         p_new = p + dp
-        cost = jnp.sum(w * jnp.sum(res * res, axis=-1))
+        cost = jnp.sum(jnp.einsum("ea,eab,eb->e", res, Wm, res,
+                                  precision=_HI))
         return (R_new, p_new), cost
 
     (R, p), costs = jax.lax.scan(gn_iter, (R0, p0), None, length=iters)

@@ -109,13 +109,18 @@ class ImuCarry(NamedTuple):
 # Packed nav-log row layout (device-resident log ring; one row appended
 # per step so the host fetches the whole run in ONE transfer — per-frame
 # D2H fetches are catastrophically slow on the target runtime, see
-# io/logger.py). Padded to 32 lanes.
-NAVLOG_WIDTH = 32
+# io/logger.py). Padded to 64 lanes. `imu_dbg` carries the VI filter
+# internals the reference dumps per frame (rebvo_third_t.cpp:283-299):
+# rows giro, acel, cacel, dgiro, GBias, dWv, dWgv, VBias, Av, As, Posgv.
+NAVLOG_WIDTH = 64
+IMU_DBG_ROWS = ("giro", "acel", "cacel", "dgiro", "GBias", "dWv", "dWgv",
+                "VBias", "Av", "As", "Posgv")
 NAVLOG_FIELDS = (
     ("t", 1), ("dt", 1), ("RotLie", 3), ("Vel", 3), ("PoseLie", 3),
     ("Pos", 3), ("g", 3), ("scale", 1), ("ok", 1), ("kl_num", 1),
     ("klm_num", 1), ("s_rho_q", 1), ("score", 1), ("stereo_num", 1),
     ("kf_id", 1), ("kf_back_m", 1), ("kf_saved", 1),
+    ("Kp", 1), ("RKp", 1), ("imu_dbg", 3 * len(IMU_DBG_ROWS)),
 )
 
 
@@ -129,6 +134,7 @@ def pack_nav_row(out: "FrameOutput") -> Array:
         nav.klm_num.astype(dt)[None], out.s_rho_q[None], out.score[None],
         out.stereo_num.astype(dt)[None], out.kf_id.astype(dt)[None],
         out.kf_back_m.astype(dt)[None], out.kf_saved.astype(dt)[None],
+        out.Kp[None], out.RKp[None], out.imu_dbg.reshape(-1),
     ]
     row = jnp.concatenate(parts)
     return jnp.pad(row, (0, NAVLOG_WIDTH - row.shape[0]))
@@ -152,6 +158,8 @@ def unpack_nav_rows(rows) -> list:
             s_rho_q=float(d["s_rho_q"]), score=float(d["score"]),
             stereo_num=int(d["stereo_num"]), kf_id=int(d["kf_id"]),
             kf_back_m=int(d["kf_back_m"]), kf_saved=bool(d["kf_saved"] > 0),
+            Kp=float(d["Kp"]), RKp=float(d["RKp"]),
+            imu_dbg=np.asarray(d["imu_dbg"]).reshape(len(IMU_DBG_ROWS), 3),
         ))
     return out
 
@@ -183,6 +191,12 @@ class VOState(NamedTuple):
                            # TrackKeyFrames is off)
     navlog: Array          # [NavLogCap, 32] device-resident nav-log ring
     navlog_n: Array        # int32 rows written (can exceed the cap)
+    G_gauge: Array         # cumulative rescaling ratio prod(Kp): tracks
+                           # the mono depth-gauge drift; the exported
+                           # trajectory divides by it so displacements
+                           # stay in the bootstrap gauge (GaugeExport).
+                           # New capability over the reference, whose
+                           # trajectory inherits the drift.
 
 
 class FrameOutput(NamedTuple):
@@ -194,6 +208,14 @@ class FrameOutput(NamedTuple):
     kf_id: Array           # int32 active keyframe number (-1 = none)
     kf_back_m: Array       # int32 frame->KF matches surviving the prune
     kf_saved: Array        # bool — this frame was pushed as a keyframe
+    W_X: Array             # [6,6] pose-estimator information of [V; W]
+                           # (vision: final LM JtJ; VI: W_Xgv) — the
+                           # quantity the reference transports into the
+                           # pose graph (rebvo_second_t.cpp:326-334)
+    Kp: Array              # per-frame rescaling ratio (Kp_cv)
+    RKp: Array             # its variance estimate (RKp_cv)
+    imu_dbg: Array         # [len(IMU_DBG_ROWS), 3] VI filter internals
+                           # for the .m log census (zeros in mono mode)
 
 
 def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
@@ -221,6 +243,7 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
         kf=KFCarry.empty(K if params.TrackKeyFrames else 1, dtype=dtype),
         navlog=jnp.zeros((max(params.NavLogCap, 1), NAVLOG_WIDTH), dtype),
         navlog_n=jnp.zeros((), jnp.int32),
+        G_gauge=jnp.ones((), dtype),
     )
 
 
@@ -516,7 +539,23 @@ class VOFrontend:
 
         K_scale = state.K_scale
         Pose = state.Pose @ R
-        Pos = state.Pos - Pose @ (V_out * K_scale)
+        # Gauge-consistent export (mono): as the depth EKF converges, the
+        # map's free monocular gauge creeps (measured loop drift: +40%
+        # over ~150 frames) and the integrated trajectory inherits it.
+        # Kp = EstimateReScalingOpt's updated/predicted inverse-depth
+        # ratio measures exactly that per-frame creep, so dividing the
+        # exported displacement by the cumulative product re-expresses
+        # every step in the bootstrap gauge. Internal visual quantities
+        # (V warm start, matching, depth) stay in the map gauge.
+        # With TrackKeyFrames the pose is re-anchored against a fixed
+        # keyframe whose depth map pins the gauge — mixing that with the
+        # cumulative-Kp division would double-correct, so gauge export is
+        # a pure frame-to-frame feature.
+        if self.params.GaugeExport and not self.params.TrackKeyFrames:
+            G_gauge = jnp.clip(state.G_gauge * Kp, 1e-4, 1e4)
+        else:
+            G_gauge = state.G_gauge
+        Pos = state.Pos - Pose @ (V_out * K_scale / G_gauge)
 
         (kf_carry, new_final, Pose, Pos, kf_id, kf_back_m,
          kf_saved) = self._kf_track(state, new_final, fv, Pose, Pos,
@@ -524,15 +563,18 @@ class VOFrontend:
 
         nav = NavData(
             t=t, dt=dt_frame, Rot=R, RotLie=so3_log(R),
-            Vel=-V_out * K_scale / dt_frame,
+            Vel=-V_out * K_scale / (G_gauge * dt_frame),
             Pose=Pose, PoseLie=so3_log(Pose), Pos=Pos,
             g=jnp.zeros((3,), dt_f), scale=K_scale,
             estimation_ok=est_ok, kl_num=kl_num, klm_num=klm_num)
 
+        W_X_out = jnp.where(nan_fail, jnp.eye(6, dtype=dt_f) * 1e-12,
+                            mres.W_X)
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=mres.score,
                           rel_error=mres.rel_error, stereo_num=stereo_num,
                           kf_id=kf_id, kf_back_m=kf_back_m,
-                          kf_saved=kf_saved)
+                          kf_saved=kf_saved, W_X=W_X_out, Kp=Kp, RKp=P_Kp,
+                          imu_dbg=jnp.zeros((len(IMU_DBG_ROWS), 3), dt_f))
         navlog, navlog_n = self._log_nav(state, out)
         new_state = VOState(
             klm=new_final, mask_img=new_mask, field_img=field_img,
@@ -540,7 +582,8 @@ class VOFrontend:
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
             Vel=V_out, W0=W, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose,
             Pos=Pos, t=t, frame_count=state.frame_count + 1, imu=state.imu,
-            kf=kf_carry, navlog=navlog, navlog_n=navlog_n)
+            kf=kf_carry, navlog=navlog, navlog_n=navlog_n,
+            G_gauge=G_gauge)
         return new_state, out
 
     # ------------------------------------------------------------------
@@ -728,10 +771,18 @@ class VOFrontend:
             Bg=Bg, W_Bg=W_Bg, Vg=Vg, X7=X7, P7=P7, u_est=u_est,
             g_est=g_est, b_est=b_est, windows=win2, Posgv=Posgv)
 
+        W_X_out = jnp.where(nan_fail, jnp.eye(6, dtype=dt_f) * 1e-12,
+                            W_Xgv)
+        # VI filter internals for the .m log (IMU_DBG_ROWS order;
+        # rebvo_third_t.cpp:283-299 census)
+        imu_dbg = jnp.stack([imu.giro, imu.acel, imu.cacel, imu.dgiro,
+                             Bg, Xv[3:], dWgv, b_est, Av, As, Posgv])
         out = FrameOutput(nav=nav, s_rho_q=s_rho_q, score=vres.score,
                           rel_error=jnp.zeros((), dt_f),
                           stereo_num=stereo_num, kf_id=kf_id,
-                          kf_back_m=kf_back_m, kf_saved=kf_saved)
+                          kf_back_m=kf_back_m, kf_saved=kf_saved,
+                          W_X=W_X_out, Kp=Kp, RKp=P_Kp,
+                          imu_dbg=imu_dbg.astype(dt_f))
         navlog, navlog_n = self._log_nav(state, out)
         new_state = VOState(
             klm=new_final, mask_img=new_mask, field_img=field_img,
@@ -739,7 +790,8 @@ class VOFrontend:
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
             Vel=V_out, W0=dWgv, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale,
             Pose=Pose, Pos=Pos, t=t, frame_count=state.frame_count + 1,
-            imu=imu_carry, kf=kf_carry, navlog=navlog, navlog_n=navlog_n)
+            imu=imu_carry, kf=kf_carry, navlog=navlog, navlog_n=navlog_n,
+            G_gauge=state.G_gauge)   # VI: metric scale K owns the gauge
         return new_state, out
 
     # ------------------------------------------------------------------

@@ -61,7 +61,8 @@ class VOSystem:
                 self.sender = EdgeMapSender(
                     params.VideoNetHost, params.VideoNetPort,
                     params.ImageWidth, params.ImageHeight,
-                    video_etype=params.EncoderType)
+                    video_etype=params.EncoderType,
+                    edgemap_delay=params.EdgeMapDelay)
             except Exception:
                 self.sender = None
 
@@ -134,8 +135,10 @@ class VOSystem:
         bootstrap frame). `frame_pair` is the synchronized stereo frame
         when StereoAvaiable (the requestStereoCustomCamBuffer role,
         rebvo.h:570-585)."""
+        import time as _time
         jnp = self._jnp
         p = self.params
+        _tw0 = _time.perf_counter()
         frame = jnp.asarray(frame)
         if frame_pair is not None:
             frame_pair = jnp.asarray(frame_pair)
@@ -156,6 +159,7 @@ class VOSystem:
             self.frame_count += 1
             return None
 
+        _tw1 = _time.perf_counter()
         if p.ImuMode > 0:
             if imu_window is None:
                 imu_window = self._collect_imu_window(
@@ -166,8 +170,14 @@ class VOSystem:
         else:
             self.state, out = self.frontend.step(self.state, frame,
                                                  jnp.asarray(t), frame_pair)
+        _tw2 = _time.perf_counter()
         self.frame_count += 1
-        self.logger.push(out)
+        # host stage times (dtp0/dtp1/TProc2 roles): prep, step dispatch
+        # (async — host cost, not device latency), previous frame's
+        # output-section time (the reference also logs the previous
+        # iteration's third-thread time, rebvo_third_t.cpp:303-305)
+        self.logger.push(out, tproc=(_tw1 - _tw0, _tw2 - _tw1,
+                                     getattr(self, "_last_tp2", 0.0)))
 
         with self._nav_lock:
             self._nav = out.nav
@@ -187,11 +197,28 @@ class VOSystem:
                     self.kf_store, self.state.klm, self.state.t,
                     self.state.K_scale, self.state.Pose, self.state.Pos,
                     self.state.Vel)
+            # Information transport (rebvo_second_t.cpp:326-334): the
+            # estimator's information W_X lives on x=[V;W]; the logged
+            # measurement is relPose=[-R·V; log(R)]. Push W_X through the
+            # pinv of J = ∂relPose/∂x so the pose-graph edge carries the
+            # estimator's actual confidence, not an identity placeholder.
+            R_np = np.asarray(out.nav.Rot, np.float64)
+            rel_t = -R_np @ np.asarray(self.state.Vel, np.float64)
+            rel = np.concatenate([rel_t, np.asarray(out.nav.RotLie,
+                                                    np.float64)])
+            J_rp_x = np.zeros((6, 6))
+            J_rp_x[3:, 3:] = -np.eye(3)
+            J_rp_x[:3, :3] = -R_np
+            J_rp_x[:3, 3:] = np.array([
+                [0.0, -rel_t[2], rel_t[1]],
+                [rel_t[2], 0.0, -rel_t[0]],
+                [-rel_t[1], rel_t[0], 0.0]])
+            J_x_rp = np.linalg.pinv(J_rp_x)
+            W_meas = J_x_rp.T @ np.asarray(out.W_X, np.float64) @ J_x_rp
             self.pose_log.add_frame_meas(OdometryMeas(
-                rel_pose=np.concatenate([
-                    -np.asarray(out.nav.Rot) @ np.asarray(self.state.Vel),
-                    np.asarray(out.nav.RotLie)]),
-                W=np.eye(6),
+                rel_pose=rel,
+                W=W_meas,
+                g_est=np.asarray(out.nav.g, np.float64),
                 K=float(out.nav.scale),
                 kf_id=int(out.kf_id)))
 
@@ -203,6 +230,7 @@ class VOSystem:
                     float(out.nav.t), frame=np.asarray(frame))
             except Exception:
                 pass
+        self._last_tp2 = _time.perf_counter() - _tw2
         return out
 
     # -- run helpers -----------------------------------------------------

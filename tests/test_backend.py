@@ -111,6 +111,34 @@ def test_pose_graph_optimizer_reduces_error():
     assert err2 < err0 * 0.5, (err0, err2)
 
 
+def test_pose_graph_full_info_downweights_bad_edge():
+    """Round-4 VERDICT #5: with the estimator's information transported
+    into the edges, a high-noise frame's edge is down-weighted and the GN
+    optimum moves to satisfy the confident edges instead. A corrupted
+    odometry edge inside a loop-closed chain is recovered only when its
+    full 6x6 information says 'don't trust my translation'."""
+    R_true, p_true, prob = chain_problem(n=6, noise=0.0, loop=True)
+    E = prob.i.shape[0]
+    bad = 2
+    t_corrupt = prob.t_ij.at[bad].add(jnp.asarray([1.0, -0.8, 0.5]))
+
+    def run(info):
+        p = prob._replace(t_ij=t_corrupt, info=info)
+        R0 = jnp.asarray(np.broadcast_to(np.eye(3), (6, 3, 3)), jnp.float32)
+        p0 = jnp.zeros((6, 3), jnp.float32)
+        R2, p2, costs = optimize_pose_graph(R0, p0, p, iters=15)
+        return np.linalg.norm(np.asarray(p2) - p_true, axis=1).mean()
+
+    # (a) flat scalar weights: the corruption is averaged into the chain
+    err_flat = run(jnp.ones((E,), jnp.float32))
+    # (b) transported information: the bad edge's translation block
+    # carries ~zero information (the estimator knew that frame was bad)
+    info = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
+    info[bad, :3, :3] *= 1e-4
+    err_info = run(jnp.asarray(info))
+    assert err_info < err_flat * 0.25, (err_flat, err_info)
+
+
 def make_ba_problem(F=4, L=96, obs_per=3, seed=0, noise_px=0.3):
     """Synthetic BA: landmarks anchored in kf0, observed in later kfs."""
     rng = np.random.RandomState(seed)

@@ -92,6 +92,22 @@ def test_vosystem_vision_only(tmp_path):
     # the bootstrap keyframe was pushed
     assert int(sys_.kf_store.count) >= 1
     assert len(sys_.pose_log.meas) == n - 1
+    # the pose-graph edges carry the transported estimator information
+    # (rebvo_second_t.cpp:326-334), not an identity placeholder
+    Ws = np.stack([m.W for m in sys_.pose_log.meas])
+    assert np.all(np.isfinite(Ws))
+    np.testing.assert_allclose(Ws[-1], Ws[-1].T, atol=1e-4)
+    assert not np.allclose(Ws[-1], np.eye(6))
+    assert not np.allclose(Ws[-1], Ws[1])      # per-frame, not constant
+    # and the log feeds the GN pose-graph optimizer directly
+    from rebvo_tpu.backend.posegraph import (optimize_pose_graph,
+                                             problem_from_log)
+    prob, n_nodes = problem_from_log(sys_.pose_log)
+    R0 = jnp.asarray(np.broadcast_to(np.eye(3), (n_nodes, 3, 3)),
+                     jnp.float32)
+    p0 = jnp.zeros((n_nodes, 3), jnp.float32)
+    _, _, costs = optimize_pose_graph(R0, p0, prob, iters=3)
+    assert np.all(np.isfinite(np.asarray(costs)))
 
     out_dir = str(tmp_path / "out")
     sys_.save_outputs(out_dir)
