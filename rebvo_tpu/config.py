@@ -229,6 +229,12 @@ class REBVOParameters:
                                    # log in one transfer at the end instead
                                    # of syncing the device every frame
                                    # (0 disables the ring)
+    GaugeExport: int = 1           # mono: divide exported displacements by
+                                   # the cumulative rescaling ratio
+                                   # prod(Kp) so the trajectory stays in
+                                   # the bootstrap depth gauge instead of
+                                   # inheriting the EKF-convergence gauge
+                                   # creep (new over the reference)
 
     # ------------------------------------------------------------------
 
@@ -345,7 +351,9 @@ def params_from_entries(
         # TPU section and purely-optional reference keys are exempt.
         optional = {
             "KeylineMax", "MatchMaxSteps", "MeshDataAxis", "UseBf16Images",
-            "soft_fps", "TrackKeyFrames", "KFSavePercent",
+            "soft_fps", "TrackKeyFrames", "KFSavePercent", "GaugeExport",
+            "CamImuSE3File",       # optional in the reference too
+                                   # (rebvo.cpp:180, no InitOK&=)
         }
         missing -= optional
         if missing:
@@ -409,7 +417,7 @@ _SECTION_FIELDS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
              "KFDriftRotStd", "KFDriftTransStd",
              "KFAlignRotUncertMax", "KFAlignTransUncertMax",
              "MatchFieldStride", "FieldRadius", "MeshDataAxis",
-             "UseBf16Images", "UsePallas", "NavLogCap")),
+             "UseBf16Images", "UsePallas", "NavLogCap", "GaugeExport")),
 )
 
 _FIELD_TO_KEY: Dict[str, Tuple[str, str]] = {
@@ -429,6 +437,11 @@ def dump_config(params: REBVOParameters) -> str:
             sec_key = _FIELD_TO_KEY.get(fname, (section, fname))
             key = sec_key[1]
             val = getattr(params, fname)
+            if fname == "CamImuSE3File" and not val:
+                # optional in the reference (rebvo.cpp:180 — no InitOK&=);
+                # an empty value would make it try LoadCamImuSE3("") and
+                # abort, so the key is omitted when unset
+                continue
             if isinstance(val, float):
                 sval = repr(val)
             else:

@@ -27,21 +27,24 @@ class RunLogger:
     """Accumulates FrameOutput records; converts to host lazily."""
 
     def __init__(self):
-        self._pending: List = []   # device FrameOutputs, not yet converted
+        self._pending: List = []   # (FrameOutput, (tp0, tp1, tp2)) pairs
         self._rows: List[dict] = []
 
-    def push(self, out) -> None:
+    def push(self, out, tproc=(0.0, 0.0, 0.0)) -> None:
         """Record one FrameOutput. No host sync: the device arrays are
-        retained and materialised in bulk later."""
-        self._pending.append(out)
+        retained and materialised in bulk later. `tproc` carries the
+        host-side per-frame stage times (prep, step dispatch, output) —
+        the reference's dtp0/dtp1/TProc2 (rebvo_third_t.cpp:303-305)."""
+        self._pending.append((out, tproc))
 
     def _drain(self) -> None:
         if not self._pending:
             return
         import jax
-        outs = jax.device_get(self._pending)   # one bulk transfer
+        outs = jax.device_get([o for o, _ in self._pending])
+        tprocs = [tp for _, tp in self._pending]
         self._pending = []
-        for out in outs:
+        for out, tp in zip(outs, tprocs):
             nav = out.nav
             self._rows.append(dict(
                 t=float(nav.t), dt=float(nav.dt),
@@ -50,6 +53,7 @@ class RunLogger:
                 PoseLie=np.asarray(nav.PoseLie),
                 Pos=np.asarray(nav.Pos),
                 Pose=np.asarray(nav.Pose),
+                Rot=np.asarray(nav.Rot),
                 g=np.asarray(nav.g),
                 scale=float(nav.scale),
                 ok=bool(nav.estimation_ok),
@@ -58,6 +62,11 @@ class RunLogger:
                 s_rho_q=float(out.s_rho_q),
                 score=float(out.score),
                 stereo_num=int(getattr(out, "stereo_num", 0)),
+                Kp=float(getattr(out, "Kp", 1.0)),
+                RKp=float(getattr(out, "RKp", 0.0)),
+                imu_dbg=np.asarray(getattr(out, "imu_dbg",
+                                           np.zeros((11, 3)))),
+                tproc=tuple(tp),
             ))
 
     @property
@@ -91,8 +100,13 @@ class RunLogger:
         if lg._rows:
             PL = jnp.asarray(np.stack([r["PoseLie"] for r in lg._rows]))
             Poses = np.asarray(jax.vmap(so3_exp)(PL))
-            for r, P in zip(lg._rows, Poses):
+            RL = jnp.asarray(np.stack([r["RotLie"] for r in lg._rows]))
+            Rots = np.asarray(jax.vmap(so3_exp)(RL))
+            for r, P, R in zip(lg._rows, Poses, Rots):
                 r["Pose"] = P
+                r["Rot"] = R
+                r["tproc"] = (0.0, 0.0, 0.0)   # device-ring path has no
+                                               # host stage times
         return lg
 
     def __len__(self) -> int:
@@ -140,3 +154,52 @@ class RunLogger:
             fh.write(mat("SrhoQ", [r["s_rho_q"] for r in rows]))
             fh.write(mat("Score", [r["score"] for r in rows]))
             fh.write(mat("StereoNum", [r["stereo_num"] for r in rows]))
+            self._write_reference_census(fh, rows)
+
+    def _write_reference_census(self, fh, rows) -> None:
+        """Emit the reference's exact per-frame `*_cv` assignment
+        statements (rebvo_third_t.cpp:259-305) so a rebvo_log.m from
+        either system loads in the same analysis script. IMU-state
+        arrays are zeros in mono mode, as in the reference."""
+        def v3(x):
+            return f"[{x[0]:.9g},{x[1]:.9g},{x[2]:.9g}]"
+
+        def m33(M):
+            return ("[" + ";".join(
+                ",".join(f"{M[a, b]:.9g}" for b in range(3))
+                for a in range(3)) + "]")
+
+        dbg_row = {"giro": 0, "acel": 1, "cacel": 2, "dgiro": 3,
+                   "GBias": 4, "dWv": 5, "dWgv": 6, "VBias": 7,
+                   "Av": 8, "As": 9, "Posgv": 10}
+        for i, r in enumerate(rows, start=1):
+            d = r.get("imu_dbg", np.zeros((11, 3)))
+            tp = r.get("tproc", (0.0, 0.0, 0.0))
+            fh.write(f"Kp_cv({i},:)={r.get('Kp', 1.0):.9g};\n")
+            fh.write(f"RKp_cv({i},:)={r.get('RKp', 0.0):.9g};\n")
+            fh.write(f"Rot_cv({i},:,:)={m33(r['Rot'])};\n")
+            fh.write(f"Vel_cv({i},:)={v3(r['Vel'])};\n")
+            fh.write(f"RotGiro_cv({i},:)={v3(d[dbg_row['giro']])};\n")
+            fh.write(f"t_cv({i},:)={r['t']:.9g};\n")
+            fh.write(f"dt_cv({i},:)={r['dt']:.9g};\n")
+            fh.write(f"i_cv({i},:)={i};\n")
+            fh.write(f"Pose_cv({i},:,:)={m33(r['Pose'])};\n")
+            fh.write(f"Pos_cv({i},:)={v3(r['Pos'])};\n")
+            fh.write(f"K_cv({i},:)={r['scale']:.9g};\n")
+            fh.write(f"KLN_cv({i},:)={r['kl_num']};\n")
+            fh.write(f"Giro_cv({i},:)={v3(d[dbg_row['giro']])};\n")
+            fh.write(f"Acel_cv({i},:)={v3(d[dbg_row['acel']])};\n")
+            fh.write(f"CAcel_cv({i},:)={v3(d[dbg_row['cacel']])};\n")
+            fh.write(f"DGiro_cv({i},:)={v3(d[dbg_row['dgiro']])};\n")
+            fh.write(f"GBias_cv({i},:)={v3(d[dbg_row['GBias']])};\n")
+            fh.write(f"dWv_cv({i},:)={v3(d[dbg_row['dWv']])};\n")
+            fh.write(f"dWgv_cv({i},:)={v3(d[dbg_row['dWgv']])};\n")
+            fh.write(f"g_cv({i},:)={v3(r['g'])};\n")
+            fh.write(f"VBias_cv({i},:)={v3(d[dbg_row['VBias']])};\n")
+            fh.write(f"Av_cv({i},:)={v3(d[dbg_row['Av']])};\n")
+            fh.write(f"As_cv({i},:)={v3(d[dbg_row['As']])};\n")
+            fh.write(f"Posgv_cv({i},:)={v3(d[dbg_row['Posgv']])};\n")
+            fh.write(f"SMM_cv({i},:)={r['stereo_num']};\n")
+            fh.write(f"TProc0_cv({i},:)={tp[0]:.9g};\n")
+            fh.write(f"TProc1_cv({i},:)={tp[1]:.9g};\n")
+            fh.write(f"TProc2_cv({i},:)={tp[2]:.9g};\n")

@@ -87,7 +87,7 @@ class EdgeMapSender:
     frame) to a remote viewer (VideoNetHost/Port semantics)."""
 
     def __init__(self, host: str, port: int, width: int, height: int,
-                 video_etype: int = None):
+                 video_etype: int = None, edgemap_delay: int = 0):
         self.port = native.UdpPort(host, port)
         self.width = width
         self.height = height
@@ -96,6 +96,13 @@ class EdgeMapSender:
         if video_etype is not None:
             from rebvo_tpu.io.video import make_encoder
             self.encoder = make_encoder(video_etype, width, height)
+        # EdgeMapDelay ring (rebvo_third_t.cpp:71-83,192-236): a hardware
+        # encoder (the reference's MFC) emits the compressed frame
+        # EdgeMapDelay frames late, so the keyline payload is held back
+        # the same number of frames to stay in sync with the video it is
+        # drawn over.
+        self.edgemap_delay = max(0, int(edgemap_delay))
+        self._delay_ring: list = []
 
     def send(self, klm, k_scale, pos, pose, t, frame=None) -> int:
         video = etype = None
@@ -103,8 +110,13 @@ class EdgeMapSender:
             self.encoder.push_frame(np.asarray(frame))
             video = self.encoder.pop_frame()
             etype = self.encoder.encoder_type
-        pkt = pack_edgemap(self.frame_id, self.width, self.height, klm,
-                           float(k_scale), pos, pose, float(t),
+        self._delay_ring.append((klm, float(k_scale), np.asarray(pos),
+                                 np.asarray(pose), float(t)))
+        if len(self._delay_ring) <= self.edgemap_delay:
+            return 0            # ring still filling: nothing to pair yet
+        d_klm, d_k, d_pos, d_pose, d_t = self._delay_ring.pop(0)
+        pkt = pack_edgemap(self.frame_id, self.width, self.height, d_klm,
+                           d_k, d_pos, d_pose, d_t,
                            video=video, video_etype=etype or 0)
         self.frame_id += 1
         return self.port.send(pkt)

@@ -180,3 +180,35 @@ def test_telemetry_roundtrip():
                                np.arange(5) * 3, atol=0.2)
     tx.close()
     rx.close()
+
+
+def test_telemetry_edgemap_delay():
+    """EdgeMapDelay ring (rebvo_third_t.cpp:71-83): with delay=2 the
+    first two sends emit nothing; the third emits frame 0's payload."""
+    import threading
+    import jax.numpy as jnp
+    from rebvo_tpu.frontend.state import KeylineMap
+    from rebvo_tpu.io.telemetry import EdgeMapReceiver, EdgeMapSender
+
+    K = 8
+    klm = KeylineMap.empty(K)._replace(
+        valid=jnp.asarray(np.arange(K) < 4))
+    port = 27413
+    rx = EdgeMapReceiver("127.0.0.1", port)
+    tx = EdgeMapSender("127.0.0.1", port, 64, 48, edgemap_delay=2)
+    assert tx.send(klm, 1.0, [0.0, 0.0, 0.0], np.eye(3), 10.0) == 0
+    assert tx.send(klm, 1.0, [0.0, 0.0, 0.0], np.eye(3), 10.05) == 0
+    got = {}
+    th = threading.Thread(
+        target=lambda: got.update(pkt=rx.recv(timeout_ms=3000)))
+    th.start()
+    n = tx.send(klm, 1.0, [9.0, 9.0, 9.0], np.eye(3), 10.10)
+    th.join()
+    assert n > 0
+    pkt = got["pkt"]
+    assert pkt is not None
+    # the payload is the DELAYED frame's (t=10.0, pos=0), not the current
+    assert abs(pkt["t"] - 10.0) < 1e-6
+    np.testing.assert_allclose(pkt["Pos"], [0.0, 0.0, 0.0])
+    tx.close()
+    rx.close()
