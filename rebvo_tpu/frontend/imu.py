@@ -278,16 +278,34 @@ def _kagmek_problem(x: Array, a_s: Array, a_v: Array, G: float, x_p: Array,
     dPda = dPda.at[0:3, 0:3].set(2.0 * sa * ca * (Rv - Rs))
     dWda = -W @ dPda @ W
 
+    # Normalization term the reference omits: the true negative
+    # log-likelihood is 1/2 F^T W(a) F + 1/2 log|Pz(a)|. Without the
+    # log-det, growing the modelled variance is free, so whichever of
+    # Rv/Rs is larger makes a = 0 or pi/2 an attractor — Rv is in
+    # VISUAL-gauge units (P_V/dt^4) while Rs is metric, so a large
+    # monocular bootstrap gauge (Rv >> Rs) reliably drives K = tan(a)
+    # to absurd values (observed: K -> 100+ on parity VI scenes while
+    # the reference binary, whose gauge happened to keep Rv ~ Rs,
+    # converged). Gradient: 0.5 tr(W dPda); Fisher information:
+    # 0.5 tr(W dPda W dPda). Only the [0:3,0:3] block of dPda is
+    # nonzero, so restrict the traces there.
+    Wz = W[0:3, 0:3]
+    dPz = dPda[0:3, 0:3]
+    WdP = Wz @ dPz
+    logdet_grad = 0.5 * jnp.trace(WdP)
+    logdet_fisher = 0.5 * jnp.trace(WdP @ WdP)
+
     JtJ = jnp.zeros((7, 7), dt)
     JtJ = JtJ.at[0, 0].set(
-        0.25 * F @ dWda @ P @ dWda @ F + dFda @ dWda @ F + dFda @ W @ dFda)
+        0.25 * F @ dWda @ P @ dWda @ F + dFda @ dWda @ F +
+        dFda @ W @ dFda + logdet_fisher)
     col = 0.5 * dFdx1.T @ dWda @ F + dFdx1.T @ W @ dFda
     JtJ = JtJ.at[1:, 0].set(col)
     JtJ = JtJ.at[0, 1:].set(col)
     JtJ = JtJ.at[1:, 1:].set(dFdx1.T @ W @ dFdx1)
 
     JtF = jnp.zeros((7,), dt)
-    JtF = JtF.at[0].set(0.5 * F @ dWda @ F + dFda @ W @ F)
+    JtF = JtF.at[0].set(0.5 * F @ dWda @ F + dFda @ W @ F + logdet_grad)
     JtF = JtF.at[1:].set(dFdx1.T @ W @ F)
     return JtJ, JtF
 

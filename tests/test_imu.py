@@ -178,6 +178,51 @@ def test_est_ka_gmek_bias_converges_scale():
                                atol=0.15)
 
 
+def test_scale_filter_no_variance_attractor():
+    """Regression for the round-4 VI parity bug: Rv is in visual-gauge
+    units while Rs is metric, and without the NLL's 1/2 log|Pz(a)| term
+    the cost 1/2 F^T W(a) F rewards inflating the modelled variance —
+    with Rv >> Rs (large monocular gauge) alpha -> pi/2 and K exploded
+    past 100 on real scenes. With the log-det term, K stays bounded and
+    gravity stays on-module even with lagged, noisy visual accel."""
+    from rebvo_tpu.frontend.imu import est_ka_gmek_bias
+    dt_t = jnp.float32
+    eye3 = jnp.eye(3, dtype=dt_t)
+    X = jnp.asarray([np.pi / 4, 0.0, 9.8, 0.0, 0.0, 0.0, 0.0], dt_t)
+    P = jnp.diag(jnp.asarray([1.44e-6, 100, 100, 100, 1e-13, 1e-13,
+                              1e-13], dt_t))
+    rng = np.random.RandomState(3)
+    k_true = 2.4
+    dt_f = 0.05
+    rv = 1e-5 / dt_f ** 4            # visual-gauge noise >> Rs = 4e-6
+    Ks = []
+    for frame in range(80):
+        t = frame * dt_f
+        act = min(t / 1.0, 1.0)
+        aw = 3.3 * np.sin(2 * np.pi * 1.3 * t) * act
+        a_s = jnp.asarray([aw, -9.8, 0.0], dt_t)
+        tl = max(t - 2 * dt_f, 0.0)  # visual accel lags 2 frames
+        av = (3.3 * np.sin(2 * np.pi * 1.3 * tl) *
+              min(tl / 1.0, 1.0) / k_true)
+        a_v = (jnp.asarray([av, 0.0, 0.0], dt_t) +
+               jnp.asarray(rng.randn(3), dt_t) * np.sqrt(1e-5) / dt_f ** 2)
+        K, X, P, g_est, b_est, _ = est_ka_gmek_bias(
+            a_s, a_v, jnp.asarray(1.0, dt_t), eye3, X, P,
+            Qg=eye3 * 2e-3 ** 2, Qrot=eye3 * 1e-8,
+            Qbias=eye3 * 1e-7 ** 2,
+            QKp=jnp.asarray(5e-2 if frame < 10 else 1e-5, dt_t),
+            Rg=jnp.asarray(0.2e3 ** 2, dt_t), Rs=eye3 * 2e-3 ** 2,
+            Rv=eye3 * rv, Wvw=jnp.eye(6) * 1e6,
+            Xvw=jnp.zeros(6), g_gravit=9.8)
+        Ks.append(float(K))
+    # bounded (no pi/2 attractor), in the right decade, gravity on-module
+    assert max(Ks) < 15.0, max(Ks)
+    assert 0.5 < Ks[-1] < 6.0, Ks[-1]
+    g = np.asarray(g_est)
+    assert abs(np.linalg.norm(g) - 9.8) < 0.5, g
+    assert g[1] > 9.0, g
+
+
 def test_rotation_between():
     a = jnp.asarray([0.3, 9.7, 0.5])
     b = jnp.asarray([0.0, 1.0, 0.0])
