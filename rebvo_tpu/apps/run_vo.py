@@ -43,6 +43,15 @@ def main(argv=None):
                     help="buffer the encoded input stream to "
                          "<out-dir>/video.rvv (the reference's VideoSave "
                          "path, rebvo_third_t.cpp:249-256)")
+    ap.add_argument("--kf-every", type=int, default=0,
+                    help="push a keyframe (current edge map + pose) every "
+                         "N frames into a device-resident store, saved at "
+                         "exit as <out-dir>/kf_list.npz — the offline-BA "
+                         "input (reference 's' key, app/rebvorun/"
+                         "main.cpp:132-136). Device-side: no mid-run D2H.")
+    ap.add_argument("--save-kf", default=None,
+                    help="keyframe store output path "
+                         "(default <out-dir>/kf_list.npz)")
     args = ap.parse_args(argv)
 
     import jax
@@ -128,8 +137,21 @@ def main(argv=None):
                                  params.ImageWidth, params.ImageHeight)
 
     state = fe.init()
+    kf_store = kf_push = None
+    if args.kf_every > 0:
+        from rebvo_tpu.backend.keyframe import (KeyframeStore,
+                                                push_keyframe,
+                                                save_keyframes)
+        try:
+            cap = len(seq) // args.kf_every + 2
+        except TypeError:
+            cap = 512 // args.kf_every + 2
+        if args.max_frames:
+            cap = min(cap, args.max_frames // args.kf_every + 2)
+        kf_store = KeyframeStore.empty(cap, params.KeylineMax)
+        kf_push = jax.jit(push_keyframe, donate_argnums=0)
     chunk_buf = ([] if args.chunk > 1 and not stereo and not params.ImuMode
-                 else None)
+                 and kf_push is None else None)
     n_done = 0
     t_start = time.perf_counter()
     for item in seq:
@@ -163,6 +185,11 @@ def main(argv=None):
                                              win, R_c2i, T_c2i, pair)
         else:
             state, out = fe.step_donated(state, frame, jnp.asarray(t), pair)
+        if (kf_push is not None and n_done > 0
+                and n_done % args.kf_every == 0):
+            kf_store = kf_push(kf_store, state.klm, state.t,
+                               state.K_scale, state.Pose, state.Pos,
+                               state.Vel)
         if venc is not None:
             venc.push_frame(np.asarray(frame))
             data = venc.pop_frame()
@@ -186,6 +213,10 @@ def main(argv=None):
     wall = time.perf_counter() - t_start
     if vout is not None:
         vout.close()
+    if kf_store is not None:
+        kf_path = args.save_kf or os.path.join(args.out_dir, "kf_list.npz")
+        save_keyframes(kf_path, kf_store)
+        print(f"saved {int(kf_store.count)} keyframes -> {kf_path}")
     # ONE bulk fetch of the whole run's nav log
     logger = RunLogger.from_device_log(state.navlog, state.navlog_n)
     tray = os.path.join(args.out_dir, params.TrayFile)
