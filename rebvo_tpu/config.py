@@ -98,7 +98,7 @@ class REBVOParameters:
     LogFile: str = "rebvo_log.m"
     TrayFile: str = "rebvo_tray.txt"
     StereoAvaiable: int = 0
-    TrackKeyFrames: int = 0
+    TrackKeyFrames: int = 1
     KFSavePercent: float = 0.7
 
     # --- &DataSetCamera (reference rebvo.cpp:66-75) ---
@@ -203,6 +203,16 @@ class REBVOParameters:
     # geometry (stale KF out of view, textureless frame) produces a
     # near-singular JtJ and is rejected by the caps, while a bogus
     # large correction (e.g. wrong-scale prior) fails the chi^2.
+    KFReAnchor: int = 0            # use the KF alignment to correct the
+                                   # global pose. Off by default: the
+                                   # reference's online TrackKeyFrames
+                                   # block never feeds the pose either
+                                   # (its kfvo optimisers are dead code),
+                                   # and measured on the parity scenes a
+                                   # mono re-anchor from stale KF depths
+                                   # adds drift (loop: 0.026 -> 0.17).
+                                   # The chains/saves below are pose-
+                                   # neutral and power the offline BA.
     KFDriftRotStd: float = 2e-3    # dead-reckoning rot drift (rad/frame)
     KFDriftTransStd: float = 8e-3  # trans drift (VO gauge units/frame)
     KFAlignRotUncertMax: float = 0.02   # max sqrt(tr RW0) accepted (rad)
@@ -414,7 +424,7 @@ _SECTION_FIELDS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("TPU", ("KeylineMax", "MatchMaxSteps", "StereoSearchRange",
              "StereoMatchMaxSteps", "KFDistThresh", "KFChainSteps",
              "KFAugIters", "KFMinBaselinePx",
-             "KFDriftRotStd", "KFDriftTransStd",
+             "KFReAnchor", "KFDriftRotStd", "KFDriftTransStd",
              "KFAlignRotUncertMax", "KFAlignTransUncertMax",
              "MatchFieldStride", "FieldRadius", "MeshDataAxis",
              "UseBf16Images", "UsePallas", "NavLogCap", "GaugeExport")),

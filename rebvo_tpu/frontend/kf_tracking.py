@@ -64,6 +64,15 @@ class KFCarry(NamedTuple):
     age: Array         # int32 — frames since this keyframe was pushed
                        # (scales the dead-reckoning drift budget of the
                        # re-anchor chi^2 gate)
+    G: Array           # cumulative map-gauge factor at capture: the
+                       # keyframe's rho lives in the map gauge of its
+                       # capture frame (bootstrap gauge x G). Alignment
+                       # translations are converted through it so the
+                       # re-anchor never mixes gauges (the round-4 root
+                       # cause of the KF-mode ATE regression: bootstrap
+                       # moves the gauge ~4x in 20 frames, and an
+                       # unconverted anchor imports that factor into the
+                       # trajectory).
 
     @staticmethod
     def empty(K: int, dtype=jnp.float32) -> "KFCarry":
@@ -72,7 +81,8 @@ class KFCarry(NamedTuple):
             Pose=jnp.eye(3, dtype=dtype),
             Pos=jnp.zeros((3,), dtype),
             count=jnp.zeros((), jnp.int32),
-            age=jnp.zeros((), jnp.int32))
+            age=jnp.zeros((), jnp.int32),
+            G=jnp.ones((), dtype))
 
 
 class KFTrackResult(NamedTuple):
@@ -251,7 +261,8 @@ def correct_and_augment(kf: KFCarry, klm: KeylineMap, Pose: Array,
 
 def track_keyframe(
     kf: KFCarry, klm: KeylineMap, fv, Pose: Array, Pos: Array,
-    K_scale: Array, kl_num: Array, s_rho_q: Array, enabled: Array, *,
+    K_scale: Array, kl_num: Array, s_rho_q: Array, enabled: Array,
+    G_gauge: Array, *,
     cam, params,
 ) -> KFTrackResult:
     """One frame of online keyframe tracking (the whole TrackKeyFrames
@@ -277,14 +288,25 @@ def track_keyframe(
     fow_m = jnp.where(run, fow_m, 0)
     back_m = jnp.where(run, back_m, 0)
 
-    # --- keyframe-relative pose re-anchor (beyond the reference) --------
+    # --- keyframe-relative pose re-anchor (beyond the reference; OPT-IN
+    # via KFReAnchor — see config.py: a mono re-anchor from stale KF
+    # depths measurably adds drift, and the reference's own online block
+    # never feeds the pose either) ---------------------------------------
+    if not p.KFReAnchor:
+        return _finish(kf, klm, m_f, m_kf, Pose, Pos, fow_m, back_m,
+                       kl_num, enabled, run, have_kf,
+                       jnp.asarray(False), G_gauge, params=p)
     from rebvo_tpu.backend.kfvo import align_to_keyframe
     R_prior, t_prior = kf_relative_pose(kf, Pose, Pos)
-    # alignment runs in the VO depth gauge: world translations are
-    # K_scale times the visual gauge the keyframe's rho lives in
+    # Alignment runs in the KEYFRAME's map gauge. Exported translations
+    # are in the bootstrap gauge (x K_scale metric in VI); map units at
+    # capture are bootstrap / G_capture (rho inflated by G => distances
+    # shrunken by G). cf converts exported -> KF-map units:
+    # t_map = t_exported / (K_scale * G_capture).
     Ks = jnp.maximum(K_scale, 1e-12)
+    cf = 1.0 / (Ks * jnp.maximum(kf.G, 1e-12))
     ares = align_to_keyframe(
-        kf.klm, fv, R_prior, t_prior / Ks,
+        kf.klm, fv, R_prior, t_prior * cf,
         zfm=zfm, cx=cam.cx, cy=cam.cy,
         width=cam.width, height=cam.height,
         max_s_rho=s_rho_q, match_thresh=p.TrackerMatchThresh,
@@ -305,8 +327,10 @@ def track_keyframe(
     finite = jnp.all(jnp.isfinite(dW)) & jnp.all(jnp.isfinite(dV)) & \
         jnp.all(jnp.isfinite(ares.RVel)) & jnp.all(jnp.isfinite(ares.RW0))
     age_f = jnp.maximum(kf.age, 1).astype(dt)
+    # drift stds are stated in exported-gauge units; dV lives in the KF
+    # map gauge, so the translation budget converts through cf
     q = jnp.concatenate([
-        jnp.full((3,), p.KFDriftTransStd ** 2, dt),
+        jnp.full((3,), (p.KFDriftTransStd * cf) ** 2, dt),
         jnp.full((3,), p.KFDriftRotStd ** 2, dt)]) * age_f
     C = jnp.zeros((6, 6), dt)
     C = C.at[:3, :3].set(ares.RVel).at[3:, 3:].set(ares.RW0)
@@ -315,15 +339,40 @@ def track_keyframe(
     chi2 = dX @ jnp.linalg.solve(S, dX)
     CHI2_6_999 = 22.458                       # chi^2 6-dof 0.999 quantile
     conditioned = (jnp.trace(ares.RW0) < p.KFAlignRotUncertMax ** 2) & \
-        (jnp.trace(ares.RVel) < p.KFAlignTransUncertMax ** 2)
+        (jnp.trace(ares.RVel) < (p.KFAlignTransUncertMax * cf) ** 2)
     align_ok = run & finite & conditioned & (chi2 < CHI2_6_999) & \
         (back_m >= p.GlobalMatchThreshold)
-    Pose_kf = kf.Pose @ ares.R.T
-    Pos_kf = kf.Pos - Pose_kf @ (ares.t * Ks)
+    # Kalman-blend the correction instead of wholesale replacement: the
+    # dead-reckoned pose is a prior with covariance Q = diag(q); the
+    # alignment a measurement with covariance C. Applied correction
+    # = Q (Q + C)^-1 dX — full anchor only when the alignment is much
+    # more certain than the accumulated drift, a proportionate nudge
+    # otherwise (the all-or-nothing anchor injected the alignment's own
+    # noise at every accept).
+    from rebvo_tpu.core.geometry import so3_exp
+    gain = jnp.diag(q) @ jnp.linalg.inv(S)
+    dX_app = gain @ dX
+    dV_app, dW_app = dX_app[:3], dX_app[3:]
+    dR_b = so3_exp(dW_app)
+    R_b = dR_b @ R_prior
+    t_b = dR_b @ (t_prior * cf) + dV_app
+    Pose_kf = kf.Pose @ R_b.T
+    Pos_kf = kf.Pos - Pose_kf @ (t_b / cf)
     Pose = jnp.where(align_ok, Pose_kf, Pose)
     Pos = jnp.where(align_ok, Pos_kf, Pos)
 
-    # --- keyframe switch (rebvo_second_t.cpp:591-596) --------------------
+    return _finish(kf, klm, m_f, m_kf, Pose, Pos, fow_m, back_m, kl_num,
+                   enabled, run, have_kf, align_ok, G_gauge, params=p)
+
+
+def _finish(kf: KFCarry, klm: KeylineMap, m_f: Array, m_kf: Array,
+            Pose: Array, Pos: Array, fow_m: Array, back_m: Array,
+            kl_num: Array, enabled: Array, run: Array, have_kf: Array,
+            align_ok: Array, G_gauge: Array, *, params) -> KFTrackResult:
+    """Keyframe switch + carry update (rebvo_second_t.cpp:591-596),
+    shared by the re-anchor and no-re-anchor paths."""
+    p = params
+    dt = Pose.dtype
     limit = (jnp.minimum(jnp.asarray(p.TrackPoints, jnp.int32),
                          kl_num).astype(dt) * p.KFSavePercent)
     # the initial keyframe is also gated on estimation health — the
@@ -346,7 +395,8 @@ def track_keyframe(
         Pose=jnp.where(save, Pose, kf.Pose),
         Pos=jnp.where(save, Pos, kf.Pos),
         count=kf.count + save.astype(jnp.int32),
-        age=jnp.where(save, 0, kf.age + 1).astype(jnp.int32))
+        age=jnp.where(save, 0, kf.age + 1).astype(jnp.int32),
+        G=jnp.where(save, G_gauge, kf.G))
 
     # resetKFMatch (kfvo.cpp:783-787) on the frame map when saved
     klm_out = klm._replace(

@@ -192,10 +192,11 @@ class VOState(NamedTuple):
     navlog: Array          # [NavLogCap, 32] device-resident nav-log ring
     navlog_n: Array        # int32 rows written (can exceed the cap)
     G_gauge: Array         # cumulative rescaling ratio prod(Kp): tracks
-                           # the mono depth-gauge drift; the exported
-                           # trajectory divides by it so displacements
-                           # stay in the bootstrap gauge (GaugeExport).
-                           # New capability over the reference, whose
+                           # the mono depth-gauge drift (rho inflation);
+                           # the exported trajectory MULTIPLIES by it
+                           # (V_map = V_true/G) so displacements stay in
+                           # the bootstrap gauge (GaugeExport). New
+                           # capability over the reference, whose
                            # trajectory inherits the drift.
 
 
@@ -540,30 +541,35 @@ class VOFrontend:
         K_scale = state.K_scale
         Pose = state.Pose @ R
         # Gauge-consistent export (mono): as the depth EKF converges, the
-        # map's free monocular gauge creeps (measured loop drift: +40%
-        # over ~150 frames) and the integrated trajectory inherits it.
-        # Kp = EstimateReScalingOpt's updated/predicted inverse-depth
-        # ratio measures exactly that per-frame creep, so dividing the
-        # exported displacement by the cumulative product re-expresses
-        # every step in the bootstrap gauge. Internal visual quantities
-        # (V warm start, matching, depth) stay in the map gauge.
-        # With TrackKeyFrames the pose is re-anchored against a fixed
-        # keyframe whose depth map pins the gauge — mixing that with the
-        # cumulative-Kp division would double-correct, so gauge export is
-        # a pure frame-to-frame feature.
-        if self.params.GaugeExport and not self.params.TrackKeyFrames:
+        # map's free monocular gauge creeps and the integrated
+        # trajectory inherits it. Kp = EstimateReScalingOpt's
+        # updated/predicted inverse-depth ratio measures the per-frame
+        # rho inflation; inflated rho means shrunken map distances, so
+        # the estimated translation scales as V_true / G. MULTIPLYING
+        # the exported displacement by the cumulative product G
+        # re-expresses every step in the bootstrap gauge (measured on
+        # loop: raw exported gauge decays x0.90 over frames 50-200
+        # while G grows x1.08 — the product is flat). Internal visual
+        # quantities (V warm start, matching, depth) stay in the map
+        # gauge.
+        # TrackKeyFrames composes with this: the keyframe stores its
+        # capture-time gauge factor (KFCarry.G) and the re-anchor
+        # converts translations through it, so the anchor and the
+        # export share one (bootstrap) gauge.
+        if self.params.GaugeExport:
             G_gauge = jnp.clip(state.G_gauge * Kp, 1e-4, 1e4)
         else:
             G_gauge = state.G_gauge
-        Pos = state.Pos - Pose @ (V_out * K_scale / G_gauge)
+        Pos = state.Pos - Pose @ (V_out * K_scale * G_gauge)
 
         (kf_carry, new_final, Pose, Pos, kf_id, kf_back_m,
          kf_saved) = self._kf_track(state, new_final, fv, Pose, Pos,
-                                    K_scale, kl_num, s_rho_q, est_ok)
+                                    K_scale, kl_num, s_rho_q, est_ok,
+                                    G_gauge)
 
         nav = NavData(
             t=t, dt=dt_frame, Rot=R, RotLie=so3_log(R),
-            Vel=-V_out * K_scale / (G_gauge * dt_frame),
+            Vel=-V_out * K_scale * G_gauge / dt_frame,
             Pose=Pose, PoseLie=so3_log(Pose), Pos=Pos,
             g=jnp.zeros((3,), dt_f), scale=K_scale,
             estimation_ok=est_ok, kl_num=kl_num, klm_num=klm_num)
@@ -757,7 +763,8 @@ class VOFrontend:
 
         (kf_carry, new_final, Pose, Pos, kf_id, kf_back_m,
          kf_saved) = self._kf_track(state, new_final, fv, Pose, Pos,
-                                    K_scale, kl_num, s_rho_q, est_ok)
+                                    K_scale, kl_num, s_rho_q, est_ok,
+                                    state.G_gauge)
 
         nav = NavData(
             t=t, dt=dt_frame, Rot=R, RotLie=so3_log(R),
@@ -807,7 +814,7 @@ class VOFrontend:
         return navlog, state.navlog_n + 1
 
     def _kf_track(self, state: VOState, klm: KeylineMap, fv, Pose, Pos,
-                  K_scale, kl_num, s_rho_q, est_ok):
+                  K_scale, kl_num, s_rho_q, est_ok, G_gauge):
         """Online keyframe tracking (TrackKeyFrames, statically gated):
         chain maintenance + pose re-anchor + keyframe switch."""
         if not self.params.TrackKeyFrames:
@@ -816,7 +823,7 @@ class VOFrontend:
                     z, jnp.asarray(False))
         res = track_keyframe(
             state.kf, klm, fv, Pose, Pos, K_scale, kl_num, s_rho_q,
-            est_ok, cam=self.cam, params=self.params)
+            est_ok, G_gauge, cam=self.cam, params=self.params)
         return (res.kf, res.klm, res.Pose, res.Pos, res.kf.count - 1,
                 res.back_m, res.saved)
 

@@ -154,6 +154,12 @@ class RunLogger:
             fh.write(mat("SrhoQ", [r["s_rho_q"] for r in rows]))
             fh.write(mat("Score", [r["score"] for r in rows]))
             fh.write(mat("StereoNum", [r["stereo_num"] for r in rows]))
+            # keyframe-tracking diagnostics (no reference counterpart:
+            # its TrackKeyFrames block logs nothing)
+            fh.write(mat("KFId", [r.get("kf_id", -1) for r in rows]))
+            fh.write(mat("KFBackM", [r.get("kf_back_m", 0) for r in rows]))
+            fh.write(mat("KFSaved", [int(r.get("kf_saved", 0))
+                                     for r in rows]))
             self._write_reference_census(fh, rows)
 
     def _write_reference_census(self, fh, rows) -> None:

@@ -14,14 +14,27 @@ import numpy as np
 
 def cartoon_texture(X: np.ndarray, Y: np.ndarray, seed: int = 0,
                     levels: int = 6) -> np.ndarray:
-    """Smooth random field quantised into flat patches (values 0..1)."""
+    """Smooth random field quantised into flat patches (values 0..1).
+
+    Normalisation is FIXED by the drawn amplitudes (not the min/max of
+    the sampled crop), so the texture is a pure function of world
+    coordinates: the same surface point keeps its value from any
+    viewpoint (the crop-dependent variant flickered slightly frame to
+    frame) and the field can be evaluated on sparse subsets."""
     rng = np.random.RandomState(seed)
-    f = np.zeros_like(X)
+    f = np.zeros_like(X, dtype=np.float64)
+    amp = 0.0
     for _ in range(8):
         kx, ky = rng.uniform(2.0, 9.0, 2) * rng.choice([-1, 1], 2)
         ph = rng.uniform(0, 2 * np.pi)
-        f = f + rng.uniform(0.5, 1.0) * np.sin(kx * X + ky * Y + ph)
-    q = np.floor((f - f.min()) / (f.max() - f.min() + 1e-9) * levels) / levels
+        a = rng.uniform(0.5, 1.0)
+        f = f + a * np.sin(kx * X + ky * Y + ph)
+        amp += a
+    # 0.72*amp ~ the empirical range of an 8-sin sum (the strict bound
+    # amp is almost never reached; using it would waste outer levels)
+    span = 0.72 * amp
+    q = np.clip((f + span) / (2.0 * span + 1e-9), 0.0, 1.0 - 1e-9)
+    q = np.floor(q * levels) / levels
     # Non-linear level spacing: adjacent patches differ by varying
     # contrast, so detector counts vary smoothly with the threshold
     # (uniform contrast makes the auto-threshold controller oscillate).
@@ -90,9 +103,11 @@ def render_billboards_seq(n_frames: int, *, width=752, height=480, zf=400.0,
             X = c[0] + t * rw[..., 0]
             Y = c[1] + t * rw[..., 1]
             hit = (t > 0) & (X >= x0) & (X <= x1) & (Y >= y0) & (Y <= y1)
-            img = np.where(hit, cartoon_texture(X * 2.0, Y * 2.0, seed=ts),
-                           img)
-            dep = np.where(hit, t, dep)
+            # texture only where the board is hit (it is a pure function
+            # of world coordinates, so subset evaluation is exact; a
+            # board typically covers a small fraction of the frame)
+            img[hit] = cartoon_texture(X[hit] * 2.0, Y[hit] * 2.0, seed=ts)
+            dep[hit] = t[hit]
         frames[i] = _downsample(50.0 + img * (max_val - 100.0), ss).astype(np.float32)
         depths[i] = _downsample(dep, ss).astype(np.float32)
     if return_depth:

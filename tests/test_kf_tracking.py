@@ -28,7 +28,8 @@ def small_params(**kw):
         KcR2=0.0, KcR4=0.0, KcP1=0.0, KcP2=0.0,
         KeylineMax=8192, MaxPoints=8192, ReferencePoints=3000,
         TrackPoints=8192, GlobalMatchThreshold=200,
-        DetectorThresh=0.03, DetectorAutoGain=1e-6)
+        DetectorThresh=0.03, DetectorAutoGain=1e-6,
+        KFReAnchor=1)   # gate tests exercise the opt-in re-anchor
     base.update(kw)
     return REBVOParameters().replace(**base)
 
@@ -207,7 +208,8 @@ def _gate_scene(K=2048, seed=3, n_lines=12):
     from rebvo_tpu.frontend.kf_tracking import KFCarry
     kf = KFCarry(klm=kf_map, Pose=jnp.eye(3), Pos=jnp.zeros(3),
                  count=jnp.asarray(1, jnp.int32),
-                 age=jnp.asarray(5, jnp.int32))
+                 age=jnp.asarray(5, jnp.int32),
+                 G=jnp.asarray(1.0, jnp.float32))
     field = build_field(fr_map, jnp.asarray(0.0), radius=8,
                         height=p.ImageHeight, width=p.ImageWidth)
     fv = FieldView.from_map(field, fr_map)
@@ -223,7 +225,8 @@ def _run_gate(p, cam, kf, fr_map, fv, Pose, Pos, K_scale=1.0):
         kf, fr_map, fv, jnp.asarray(Pose, jnp.float32),
         jnp.asarray(Pos, jnp.float32), jnp.asarray(K_scale, jnp.float32),
         jnp.asarray(3000, jnp.int32), jnp.asarray(1e3, jnp.float32),
-        jnp.asarray(True), cam=cam, params=p)
+        jnp.asarray(True), jnp.asarray(1.0, jnp.float32),
+        cam=cam, params=p)
 
 
 def test_gate_accepts_healthy_drift():
