@@ -203,6 +203,17 @@ class REBVOParameters:
     # geometry (stale KF out of view, textureless frame) produces a
     # near-singular JtJ and is rejected by the caps, while a bogus
     # large correction (e.g. wrong-scale prior) fails the chi^2.
+    BootstrapRescaleFrames: int = 20  # apply the depth rescale (the
+                                   # reference's DoReScaling mechanism)
+                                   # during the first N frames: pins the
+                                   # bootstrap mono gauge at RhoInit,
+                                   # killing the co-adaptation transient
+                                   # and the post-bootstrap drift toward
+                                   # fresh-keyline RhoInit injections.
+    ScaleFilterLogDet: int = 0     # add the 1/2 log|Pz(alpha)| MLE term
+                                   # to the scale filter (the reference
+                                   # omits it). Reference-exact (0) wins
+                                   # VI parity; see frontend/imu.py.
     KFReAnchor: int = 0            # use the KF alignment to correct the
                                    # global pose. Off by default: the
                                    # reference's online TrackKeyFrames
@@ -424,7 +435,7 @@ _SECTION_FIELDS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("TPU", ("KeylineMax", "MatchMaxSteps", "StereoSearchRange",
              "StereoMatchMaxSteps", "KFDistThresh", "KFChainSteps",
              "KFAugIters", "KFMinBaselinePx",
-             "KFReAnchor", "KFDriftRotStd", "KFDriftTransStd",
+             "BootstrapRescaleFrames", "ScaleFilterLogDet", "KFReAnchor", "KFDriftRotStd", "KFDriftTransStd",
              "KFAlignRotUncertMax", "KFAlignTransUncertMax",
              "MatchFieldStride", "FieldRadius", "MeshDataAxis",
              "UseBf16Images", "UsePallas", "NavLogCap", "GaugeExport")),

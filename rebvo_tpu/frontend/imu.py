@@ -227,7 +227,8 @@ def mean_acel4(win: ScaleWindows, s_acel: Array,
 
 
 def _kagmek_problem(x: Array, a_s: Array, a_v: Array, G: float, x_p: Array,
-                    Rv: Array, Rs: Array, Rg: Array, Pp: Array):
+                    Rv: Array, Rs: Array, Rg: Array, Pp: Array,
+                    nll_logdet: bool = False):
     """JtJ/JtF of the 11-equation problem (Problem_KaGMEKBias,
     scaleestimator.cpp:122-190)."""
     dt = x.dtype
@@ -289,11 +290,24 @@ def _kagmek_problem(x: Array, a_s: Array, a_v: Array, G: float, x_p: Array,
     # converged). Gradient: 0.5 tr(W dPda); Fisher information:
     # 0.5 tr(W dPda W dPda). Only the [0:3,0:3] block of dPda is
     # nonzero, so restrict the traces there.
-    Wz = W[0:3, 0:3]
-    dPz = dPda[0:3, 0:3]
-    WdP = Wz @ dPz
-    logdet_grad = 0.5 * jnp.trace(WdP)
-    logdet_fisher = 0.5 * jnp.trace(WdP @ WdP)
+    # Head-to-head evidence (PARITY_r04): on scenes where the
+    # bootstrap gauge keeps Rv comparable to Rs, the extra term SHIFTS
+    # the optimum away from the reference's and the filter converges to
+    # a wrong scale (lateral_arc_vi K drifted 5.9 -> 2.5, dolly_vi
+    # collapsed |g| to 6.2 while the reference binary held 0.99x metric
+    # scale on both). Reference-exact behaviour is therefore the
+    # default; the log-det MLE correction stays available (nll_logdet)
+    # for gauges where Rv >> Rs makes alpha -> pi/2 an attractor, with
+    # the k clamp in est_ka_gmek_bias as the last-resort guard.
+    if nll_logdet:
+        Wz = W[0:3, 0:3]
+        dPz = dPda[0:3, 0:3]
+        WdP = Wz @ dPz
+        logdet_grad = 0.5 * jnp.trace(WdP)
+        logdet_fisher = 0.5 * jnp.trace(WdP @ WdP)
+    else:
+        logdet_grad = jnp.zeros((), dt)
+        logdet_fisher = jnp.zeros((), dt)
 
     JtJ = jnp.zeros((7, 7), dt)
     JtJ = JtJ.at[0, 0].set(
@@ -342,7 +356,7 @@ def est_ka_gmek_bias(
     Qg: Array, Qrot: Array, Qbias: Array, QKp: Array,
     Rg: Array, Rs: Array, Rv: Array,
     Wvw: Array, Xvw: Array, g_gravit: float,
-    gn_iters: int = 20,
+    gn_iters: int = 20, nll_logdet: bool = False,
 ):
     """7-state {atan(scale), g, bias_v} filter (estKaGMEKBias,
     scaleestimator.cpp:200-318).
@@ -370,13 +384,14 @@ def est_ka_gmek_bias(
     # Nonlinear Gauss-Newton update.
     def gn_body(_, x):
         JtJ, JtF = _kagmek_problem(x, s_acel, f_acel, g_gravit, Xp,
-                                   Rv, Rs, Rg, Pp)
+                                   Rv, Rs, Rg, Pp, nll_logdet=nll_logdet)
         h = _solve_scaled(JtJ, -JtF)
         return _kagmek_transform(x + h)
 
     Xn = jax.lax.fori_loop(0, gn_iters, gn_body, Xp)
 
-    JtJ, _ = _kagmek_problem(Xn, s_acel, f_acel, g_gravit, Xp, Rv, Rs, Rg, Pp)
+    JtJ, _ = _kagmek_problem(Xn, s_acel, f_acel, g_gravit, Xp, Rv, Rs, Rg,
+                             Pp, nll_logdet=nll_logdet)
     Pn = _inv_scaled(JtJ)
 
     # Scale guard: the reference only floors k = tan(alpha) at 0

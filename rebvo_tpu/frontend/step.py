@@ -465,16 +465,54 @@ class VOFrontend:
             Kp_new = jnp.ones((), dt_f)
             P_Kp_new = state.P_Kp
         else:
+            # Bootstrap rescale warm-up: during the first frames the
+            # velocity/depth co-adaptation moves the free mono gauge a
+            # lot in single-frame jumps (measured frame-1 Kp = 3.6 on
+            # the parity scenes vs the reference's 1.4); applying the
+            # rescale (the reference's DoReScaling mechanism,
+            # edge_tracker.cpp:1131-1136) during bootstrap pins the map
+            # at the RhoInit gauge, which (a) kills the slow post-
+            # bootstrap drift caused by fresh keylines injecting
+            # RhoInit=1 into a far-from-1 population and (b) hands the
+            # VI scale filter a stable gauge from its first frame.
+            # ... VI only: the warm-up exists to hand the SCALE FILTER a
+            # stable gauge (its alpha prior freezes right after init, so
+            # a moving gauge at turn-on locks a wrong K for hundreds of
+            # frames — measured lateral_arc_vi: align scale 0.62 without
+            # vs 0.98 with). Mono exports are Sim(3)-gauge-free and
+            # measure slightly better without the extra multiplicative
+            # noise, so they keep the reference-exact no-rescale path.
             proc, Kp_new, P_Kp_new = estimate_rescaling_opt(
-                proc, apply=bool(p.DoReScaling))
+                proc, apply=False)
+            if p.ImuMode > 0 and p.BootstrapRescaleFrames > 0:
+                boot = state.frame_count <= p.BootstrapRescaleFrames
+                # only while the gauge is actually MOVING: applying the
+                # (noisy) Kp on settled frames injects multiplicative
+                # depth noise for no benefit. The transient shows up as
+                # large single-frame ratios; 5% is well above the
+                # settled Kp noise (~0.1-0.5%).
+                moving = jnp.abs(Kp_new - 1.0) > 0.05
+                apply_res = jnp.asarray(bool(p.DoReScaling)) | \
+                    (boot & moving & est_ok)
+            else:
+                apply_res = jnp.asarray(bool(p.DoReScaling))
+            div = jnp.where(apply_res, Kp_new, 1.0)
+            proc = proc._replace(rho=proc.rho / div,
+                                 s_rho=proc.s_rho / div)
 
         new_final = jax.tree_util.tree_map(
             lambda a, b: jnp.where(est_ok, a, b), proc, dres.new)
         Kp = jnp.where(est_ok, Kp_new, 1.0)
+        if stereo is None:
+            # gauge bookkeeping must skip frames whose creep was removed
+            # from the map itself by the applied rescale
+            Kp_gauge = jnp.where(apply_res, 1.0, Kp)
+        else:
+            Kp_gauge = jnp.ones((), dt_f)
         P_Kp = jnp.where(nan_fail, BIG, jnp.where(match_fail, 10.0, P_Kp_new))
         V_out = jnp.where(est_ok, V, 0.0)
-        return (new_final, klm_num, est_ok, Kp, P_Kp, V_out, s_rho_q,
-                stereo_num)
+        return (new_final, klm_num, est_ok, Kp, Kp_gauge, P_Kp, V_out,
+                s_rho_q, stereo_num)
 
     # ------------------------------------------------------------------
     # Vision-only path (rebvo_second_t.cpp:338-382 + common tail)
@@ -534,7 +572,7 @@ class VOFrontend:
         state2 = state._replace(klm=old_rot)
         detection2 = (new_fm,) + detection[1:]
 
-        (new_final, klm_num, est_ok, Kp, P_Kp, V_out, s_rho_q,
+        (new_final, klm_num, est_ok, Kp, Kp_gauge, P_Kp, V_out, s_rho_q,
          stereo_num) = self._tail(
             state2, detection2, V, P_V, R, nan_fail, stereo=stereo)
 
@@ -557,7 +595,7 @@ class VOFrontend:
         # converts translations through it, so the anchor and the
         # export share one (bootstrap) gauge.
         if self.params.GaugeExport:
-            G_gauge = jnp.clip(state.G_gauge * Kp, 1e-4, 1e4)
+            G_gauge = jnp.clip(state.G_gauge * Kp_gauge, 1e-4, 1e4)
         else:
             G_gauge = state.G_gauge
         Pos = state.Pos - Pose @ (V_out * K_scale * G_gauge)
@@ -717,7 +755,8 @@ class VOFrontend:
         Kf, X7n, P7n, g_est, b_est, Xgva = est_ka_gmek_bias(
             As, Av, jnp.asarray(1.0, dt_f), R, X7, ic.P7,
             Qg, Qrot, Qbias, QKp, Rg_mod, Rs, Rv,
-            W_Xgv, Xgv, p.g_module)
+            W_Xgv, Xgv, p.g_module,
+            nll_logdet=bool(p.ScaleFilterLogDet))
         K_scale = jnp.where(filter_on, Kf, state.K_scale)
         X7 = jnp.where(filter_on, X7n, X7)
         P7 = jnp.where(filter_on, P7n, ic.P7)
@@ -739,7 +778,7 @@ class VOFrontend:
         V = jnp.where(nan_fail, 0.0, V)
         P_V = jnp.where(nan_fail, eye3 * BIG, P_V)
 
-        (new_final, klm_num, est_ok, Kp, P_Kp, V_out, s_rho_q,
+        (new_final, klm_num, est_ok, Kp, Kp_gauge, P_Kp, V_out, s_rho_q,
          stereo_num) = self._tail(
             state2, detection2, V, P_V, R, nan_fail, stereo=stereo)
 

@@ -138,8 +138,13 @@ def estimate_rescaling_opt(klm: KeylineMap, *, s_rho_min: float = RHO_MAX,
         Kp = jnp.where(rTr0 > 0, jnp.sqrt(rTr / jnp.where(rTr0 > 0, rTr0, 1.0)), 1.0)
         RKp = 1.0 / jnp.where(rTr0 > 0, rTr0, 1.0)
 
-    if apply:
-        klm = klm._replace(rho=klm.rho / Kp, s_rho=klm.s_rho / Kp)
+    # `apply` may be a traced bool (the bootstrap-rescale warm-up turns
+    # it on dynamically for the first frames).
+    if isinstance(apply, bool):
+        div = Kp if apply else jnp.ones((), klm.rho.dtype)
+    else:
+        div = jnp.where(apply, Kp, 1.0)
+    klm = klm._replace(rho=klm.rho / div, s_rho=klm.s_rho / div)
     return klm, Kp, RKp
 
 

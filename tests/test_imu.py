@@ -213,7 +213,7 @@ def test_scale_filter_no_variance_attractor():
             QKp=jnp.asarray(5e-2 if frame < 10 else 1e-5, dt_t),
             Rg=jnp.asarray(0.2e3 ** 2, dt_t), Rs=eye3 * 2e-3 ** 2,
             Rv=eye3 * rv, Wvw=jnp.eye(6) * 1e6,
-            Xvw=jnp.zeros(6), g_gravit=9.8)
+            Xvw=jnp.zeros(6), g_gravit=9.8, nll_logdet=True)
         Ks.append(float(K))
     # bounded (no pi/2 attractor), in the right decade, gravity on-module
     assert max(Ks) < 15.0, max(Ks)
