@@ -459,6 +459,31 @@ class VOFrontend:
                 min_thr_ang=p.MatchThreshAngle,
                 max_radius=float(p.StereoSearchRange),
                 loc_uncertainty=p.LocationUncertaintyMatch)
+            # Bootstrap re-gauge to the METRIC stereo gauge (beyond the
+            # reference, which only information-fuses per keyline —
+            # leaving the map near the arbitrary mono bootstrap gauge,
+            # since the converged mono sigma quickly out-weighs the pair
+            # depth): during the first frames, measure the global ratio
+            # g between the map's rho and the pair-geometry rho over the
+            # stereo matches and rescale the WHOLE map by it. The map
+            # lands baseline-metric before the mono EKF tightens, the
+            # fusion then refines consistently, and in VI mode the scale
+            # filter initialises against a gauge that is already ~1.
+            if p.BootstrapRescaleFrames > 0:
+                hasm = (sres.stereo_m_id >= 0) & proc.valid
+                wst = jnp.where(
+                    hasm, 1.0 / (jnp.square(proc.s_rho) +
+                                 jnp.square(sres.stereo_s_rho)), 0.0)
+                num = jnp.sum(wst * proc.rho * proc.rho)
+                den = jnp.sum(wst * sres.stereo_rho * proc.rho)
+                g_st = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                                 1.0)
+                boot_st = (state.frame_count <= p.BootstrapRescaleFrames) \
+                    & (sres.nmatch > p.GlobalMatchThreshold) \
+                    & (jnp.abs(g_st - 1.0) > 0.05) & est_ok
+                div_st = jnp.where(boot_st, g_st, 1.0)
+                proc = proc._replace(rho=proc.rho / div_st,
+                                     s_rho=proc.s_rho / div_st)
             proc = fuse_stereo_depth(proc, sres.stereo_m_id,
                                      sres.stereo_rho, sres.stereo_s_rho)
             stereo_num = sres.nmatch
