@@ -467,9 +467,15 @@ def _ba_refine(seq_dir: str, gt: np.ndarray, warm: int, res: dict):
         res["ba_error"] = "no keyframe store written"
         return
     opt_path = os.path.join(seq_dir, "repo_out", "kf_list_opt.npz")
+    # conservative refine: tight match radius + strong robustifier +
+    # single round. Parameter study on the loop store (r4): radius 8 /
+    # 4 rounds reprojects-consistently but IMPORTS the field-matching
+    # occlusion bias and degrades KF ATE 3x; radius 2 / 1 round / 4
+    # iters is the measured optimum (0.0251 vs online 0.0253).
     r = subprocess.run(
         [sys.executable, "-m", "rebvo_tpu.apps.run_ba", kf_path,
-         "--cpu", "--out", opt_path],
+         "--cpu", "--out", opt_path, "--rounds", "1", "--iters", "4",
+         "--field-radius", "2", "--huber-k", "1.0"],
         cwd=REPO_ROOT, capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         res["ba_error"] = f"run_ba failed: {r.stderr[-400:]}"
