@@ -209,3 +209,41 @@ class RunLogger:
             fh.write(f"TProc0_cv({i},:)={tp[0]:.9g};\n")
             fh.write(f"TProc1_cv({i},:)={tp[1]:.9g};\n")
             fh.write(f"TProc2_cv({i},:)={tp[2]:.9g};\n")
+
+
+def read_mfile(path: str) -> dict:
+    """Parse a rebvo_log.m from EITHER system into {name: ndarray}.
+
+    One loader for both logs is the round-3 census done-when
+    (rebvo_third_t.cpp:259-313 emits per-frame `X_cv(i,:)=...;`
+    assignments; write_mfile above emits the same census plus
+    whole-array `Name=[...];` blocks). Handles scalar, [a,b,c] vector
+    and [r1;r2;r3] matrix right-hand sides.
+    """
+    import re
+
+    import numpy as np
+
+    txt = open(path).read()
+    out: dict = {}
+    rows: dict = {}
+    for m in re.finditer(
+            r"(?m)^\s*(\w+)\((\d+)(?:,:)*\)\s*=\s*(\[[^\]]*\]|[^;]+);",
+            txt):
+        name, idx, rhs = m.group(1), int(m.group(2)), m.group(3)
+        vals = [float(x) for x in
+                re.split(r"[,\s;]+", rhs.strip().strip("[]")) if x]
+        rows.setdefault(name, {})[idx] = vals
+    for name, d in rows.items():
+        n = max(d)
+        width = max(len(v) for v in d.values())
+        arr = np.zeros((n, width))
+        for i, v in d.items():
+            arr[i - 1, :len(v)] = v
+        out[name] = arr
+    for m in re.finditer(r"(?ms)^(\w+)=\[(.*?)\];", txt):
+        name, body = m.group(1), m.group(2)
+        mat = [[float(x) for x in re.split(r"[\s,]+", r.strip()) if x]
+               for r in body.split(";") if r.strip()]
+        out[name] = np.asarray(mat)
+    return out

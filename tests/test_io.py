@@ -204,3 +204,51 @@ def test_run_vo_save_video(tmp_path):
     assert len(pkts) == 6
     w, h = stream_dims(str(vp))
     assert (w, h) == (752, 480)
+
+
+def test_mfile_loader_reads_both_systems(tmp_path):
+    """One loader parses the rebvo_log.m of EITHER system (the log
+    census done-when): the repo's write_mfile round-trips through
+    read_mfile, its reference-census section carries exactly the
+    reference's per-frame array set (rebvo_third_t.cpp:259-313), and —
+    when a parity run's artifacts are on disk — the reference binary's
+    own log parses with the same function."""
+    import numpy as np
+
+    from rebvo_tpu.io.logger import RunLogger, read_mfile
+
+    REF_CENSUS = {
+        "Acel_cv", "As_cv", "Av_cv", "CAcel_cv", "DGiro_cv", "GBias_cv",
+        "Giro_cv", "KLN_cv", "K_cv", "Kp_cv", "Pos_cv", "Pose_cv",
+        "Posgv_cv", "RKp_cv", "RotGiro_cv", "Rot_cv", "SMM_cv",
+        "TProc0_cv", "TProc1_cv", "TProc2_cv", "VBias_cv", "Vel_cv",
+        "dWgv_cv", "dWv_cv", "dt_cv", "g_cv", "i_cv", "t_cv",
+    }
+
+    lg = RunLogger()
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        lg._rows.append(dict(
+            t=0.05 * (i + 1), dt=0.05, RotLie=rng.randn(3) * 0.01,
+            Vel=rng.randn(3) * 0.01, PoseLie=rng.randn(3) * 0.01,
+            Pos=rng.randn(3), Pose=np.eye(3), Rot=np.eye(3),
+            g=np.array([0.0, 9.8, 0.0]), scale=1.5, ok=True,
+            kl_num=1000 + i, klm_num=900, s_rho_q=2.0, score=0.1,
+            stereo_num=0, Kp=1.01, RKp=1e-5,
+            imu_dbg=rng.randn(11, 3), tproc=(0.001, 0.002, 0.0)))
+    path = str(tmp_path / "rebvo_log.m")
+    lg.write_mfile(path)
+    parsed = read_mfile(path)
+    assert REF_CENSUS <= set(parsed), REF_CENSUS - set(parsed)
+    assert parsed["K_cv"].shape == (5, 1)
+    np.testing.assert_allclose(parsed["K_cv"][:, 0], 1.5)
+    np.testing.assert_allclose(parsed["Pos_cv"],
+                               np.stack([r["Pos"] for r in lg._rows]),
+                               rtol=1e-6)
+    assert parsed["Rot_cv"].shape[1] == 9   # 3x3 flattened per frame
+
+    ref_log = "/tmp/rebvo_parity/loop/rebvo_log.m"
+    if os.path.exists(ref_log):
+        ref = read_mfile(ref_log)
+        assert REF_CENSUS <= set(ref)
+        assert ref["K_cv"].shape[0] > 100
