@@ -73,6 +73,17 @@ def _traj_eval(kind: str, u: np.ndarray):
         pos[..., 1] = 0.18 * (1 - np.cos(2 * np.pi * u))
         pos[..., 2] = 0.30 * np.sin(np.pi * u)
         yaw = 0.08 * np.sin(2 * np.pi * u)
+    elif kind == "loop3":
+        # Long-trajectory variant (VERDICT r4 #6): three full revisit
+        # cycles of the loop path under a slow depth envelope. At 1,500+
+        # frames this exercises drift accumulation, keyframe-ring and
+        # navlog-ring wraparound, and the scale machinery's long-horizon
+        # dynamics — the reference's design regime (minutes-long EuRoC
+        # replays, reference src/VideoLib/datasetcam.cpp:32).
+        pos[..., 0] = 0.35 * np.sin(2 * np.pi * 3 * u)
+        pos[..., 1] = 0.18 * (1 - np.cos(2 * np.pi * 3 * u))
+        pos[..., 2] = 0.30 * np.sin(np.pi * u)
+        yaw = 0.08 * np.sin(2 * np.pi * 3 * u)
     else:
         raise ValueError(kind)
     return pos, yaw, pitch
@@ -245,9 +256,13 @@ def _distort_frames(frames_big, margin):
 # render a cam1 stream at the EuRoC cam0->cam1 extrinsics the reference
 # HARD-CODES in its stereo path (rebvo_second_t.cpp:467-470; the repo
 # reads the same values from &Stereo config keys, which default to them).
-# Both sides then run StereoAvaiable=1: epipolar pair matching, closed-
-# form pair depth, information fusion, gauge pinned (Kp=1) — so the
-# recovered trajectory is METRIC and the alignment scale must be ~1.
+# Both sides then run StereoAvaiable=1. Intended behaviour: the 0.11 m
+# baseline pins the gauge and the alignment scale comes out ~1. The
+# REFERENCE does not achieve this (measured align_scale ~12): its
+# prior-windowed epipolar search self-confirms the converged mono gauge
+# (see kernels/stereo.py). The repo's prior-free search + pair-anchored
+# velocity-scale observers recover metric scale (align ~1.0, round 5);
+# `scale_ok` asserts it for the repo only.
 # ---------------------------------------------------------------------------
 
 ST_R = np.array([[0.999997256477450, 0.002312067192420, 0.000376008102351],
@@ -455,6 +470,22 @@ def run_repo(seq_dir: str, timeout: float = 1800.0, vi: bool = False,
     return rows[:, 1:4], wall
 
 
+def _dataset_t0(seq_dir: str) -> float:
+    """First frame timestamp (s) of the rendered dataset — VI variants
+    offset the camera clock by VI_T0, so keyframe times must be shifted
+    back before converting to GT frame indices (advisor r4, medium)."""
+    try:
+        with open(os.path.join(seq_dir, "data.csv")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                return float(line.split(",")[0]) * 1e-9
+    except OSError:
+        pass
+    return 0.0
+
+
 def _ba_refine(seq_dir: str, gt: np.ndarray, warm: int, res: dict):
     """Offline BA over the keyframes captured during the repo run; adds
     before/after ATE on the keyframe subset (VERDICT r3 #6: show the
@@ -484,8 +515,10 @@ def _ba_refine(seq_dir: str, gt: np.ndarray, warm: int, res: dict):
     before = load_keyframes(kf_path)
     after = load_keyframes(opt_path)
     live = np.asarray(before.valid)
-    idx = np.clip(np.round(np.asarray(before.t)[live] * FPS).astype(int),
-                  0, len(gt) - 1)
+    t0 = _dataset_t0(seq_dir)
+    idx = np.clip(
+        np.round((np.asarray(before.t)[live] - t0) * FPS).astype(int),
+        0, len(gt) - 1)
     keep = idx >= warm                 # same gauge-settling cut as the
     idx = idx[keep]                    # trajectory ATE
     if idx.size < 3:
@@ -578,12 +611,18 @@ def evaluate_sequence(seq_dir, kind, n_frames, seed, skip_ref=False,
     repo_w = _resample(repo_pos, n_frames)[warm:]
     res["ate_repo_vs_gt"] = float(ate_rmse(repo_w, gt_w, with_scale=True))
     if vi or st:
-        # metric-scale convergence: the VI filter's K should make the
-        # repo trajectory metric, i.e. the Umeyama alignment scale vs the
-        # metric GT should be ~1 (VERDICT r3 #2 done-when criterion)
+        # metric-scale convergence: the VI filter's K (or the stereo
+        # baseline) should make the repo trajectory metric, i.e. the
+        # Umeyama alignment scale vs the metric GT should be ~1
         s_align, _, _ = align_umeyama(repo_w, gt_w, with_scale=True)
         res["align_scale_repo"] = float(s_align)
         res["scale_ok"] = bool(abs(1.0 - float(s_align)) < 0.10)
+        # SE(3) (scale-FIXED) ATE: the honest metric lens for a system
+        # claiming metric scale — Sim(3) alignment forgives an entirely
+        # wrong global scale, which is precisely the reference's stereo
+        # failure mode
+        res["ate_se3_repo_vs_gt"] = float(
+            ate_rmse(repo_w, gt_w, with_scale=False))
     if ref_pos is not None:
         ref_w = _resample(ref_pos, n_frames)[warm:]
         res["ate_ref_vs_gt"] = float(ate_rmse(ref_w, gt_w, with_scale=True))
@@ -594,6 +633,8 @@ def evaluate_sequence(seq_dir, kind, n_frames, seed, skip_ref=False,
         if vi or st:
             s_ref, _, _ = align_umeyama(ref_w, gt_w, with_scale=True)
             res["align_scale_ref"] = float(s_ref)
+            res["ate_se3_ref_vs_gt"] = float(
+                ate_rmse(ref_w, gt_w, with_scale=False))
     print(f"[{kind}] {json.dumps({k: v for k, v in res.items() if 'ate' in k})}",
           flush=True)
     return res
@@ -621,7 +662,7 @@ def main(argv=None):
     # names get a seed derived from the NAME (stable crc32), never from
     # the position in the subset (advisor r3)
     import zlib
-    seq_seed = {"lateral_arc": 7, "dolly": 20, "loop": 33,
+    seq_seed = {"lateral_arc": 7, "dolly": 20, "loop": 33, "loop3": 33,
                 # VI/distorted variants reuse the base scene seeds
                 "lateral_arc_vi": 7, "dolly_vi": 20, "loop_vi": 33,
                 "lateral_arc_dist": 7, "dolly_dist": 20, "loop_dist": 33,

@@ -222,7 +222,15 @@ def main(argv=None):
     if kf_store is not None:
         kf_path = args.save_kf or os.path.join(args.out_dir, "kf_list.npz")
         save_keyframes(kf_path, kf_store)
-        print(f"saved {int(kf_store.count)} keyframes -> {kf_path}")
+        n_kf = int(kf_store.count)
+        cap = int(kf_store.valid.shape[0])
+        if n_kf >= cap:
+            # ring store: pushes beyond capacity overwrite the EARLIEST
+            # keyframes (advisor r4: silent truncation of the offline-BA
+            # input when the sequence length was unknown up front)
+            print(f"WARNING: keyframe ring filled (capacity {cap}); "
+                  f"earliest keyframes were overwritten")
+        print(f"saved {min(n_kf, cap)} keyframes -> {kf_path}")
     # ONE bulk fetch of the whole run's nav log
     logger = RunLogger.from_device_log(state.navlog, state.navlog_n)
     tray = os.path.join(args.out_dir, params.TrayFile)

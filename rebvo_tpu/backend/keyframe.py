@@ -97,8 +97,14 @@ def save_keyframes(path: str, store: KeyframeStore) -> None:
 
 def load_keyframes(path: str) -> KeyframeStore:
     z = np.load(path)
-    klm = KeylineMap(**{name: jnp.asarray(z[f"klm_{name}"])
-                        for name in KeylineMap._fields})
+    # tolerate stores written before a KeylineMap field existed (missing
+    # arrays load as their empty() default, e.g. anchored=False)
+    n_kf, K = z["klm_valid"].shape
+    defaults = KeylineMap.empty(K, batch_shape=(n_kf,))
+    klm = KeylineMap(**{
+        name: (jnp.asarray(z[f"klm_{name}"]) if f"klm_{name}" in z.files
+               else getattr(defaults, name))
+        for name in KeylineMap._fields})
     return KeyframeStore(
         valid=jnp.asarray(z["valid"]), t=jnp.asarray(z["t"]),
         K_scale=jnp.asarray(z["K_scale"]), Pose=jnp.asarray(z["Pose"]),

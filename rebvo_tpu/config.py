@@ -210,6 +210,41 @@ class REBVOParameters:
                                    # killing the co-adaptation transient
                                    # and the post-bootstrap drift toward
                                    # fresh-keyline RhoInit injections.
+    StereoVelRescale: int = 1      # stereo: 1-D refinement of the solved
+                                   # translation scale against the pair-
+                                   # anchored metric depths over the
+                                   # directed-matching correspondences
+                                   # (kernels/stereo.velocity_scale_refine)
+    StereoScaleBaseFrames: int = 12  # scale-anchor epoch length (frames)
+                                   # for the long-baseline translation-
+                                   # scale observer (kernels/stereo.
+                                   # anchor_scale_measure): per-frame
+                                   # displacement is sub-pixel on slow
+                                   # scenes, so scale is measured over
+                                   # this many frames of accumulated
+                                   # motion instead
+    StereoPriorWindow: int = 0     # 1 = reference-windowed stereo search
+                                   # (epipolar band from the mono prior's
+                                   # +-sigma, edge_tracker.cpp:520-537);
+                                   # 0 = prior-free full-range search with
+                                   # ambiguity rejection (the default:
+                                   # prior-windowed stereo self-confirms
+                                   # the mono gauge and never recovers
+                                   # metric scale — see kernels/stereo.py)
+    SeedRhoMapMedian: int = 1      # STEREO mode: initialise FRESH keylines at the map's
+                                   # median inverse depth instead of the
+                                   # reference's fixed RhoInit=1
+                                   # (edge_finder.h:42). A fixed seed far
+                                   # from the converged population keeps
+                                   # re-injecting a second depth gauge
+                                   # every frame; the mixed-gauge map then
+                                   # biases the pose solver toward a
+                                   # shrunken translation (measured on
+                                   # loop_st: V 13x under metric with a
+                                   # stereo-pinned map). Median seeding is
+                                   # gauge-neutral once converged and a
+                                   # no-op at bootstrap (falls back to
+                                   # RhoInit while nothing is mature).
     ScaleFilterLogDet: int = 0     # add the 1/2 log|Pz(alpha)| MLE term
                                    # to the scale filter (the reference
                                    # omits it). Reference-exact (0) wins
@@ -435,7 +470,9 @@ _SECTION_FIELDS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("TPU", ("KeylineMax", "MatchMaxSteps", "StereoSearchRange",
              "StereoMatchMaxSteps", "KFDistThresh", "KFChainSteps",
              "KFAugIters", "KFMinBaselinePx",
-             "BootstrapRescaleFrames", "ScaleFilterLogDet", "KFReAnchor", "KFDriftRotStd", "KFDriftTransStd",
+             "BootstrapRescaleFrames", "SeedRhoMapMedian",
+             "StereoPriorWindow", "StereoVelRescale", "StereoScaleBaseFrames",
+             "ScaleFilterLogDet", "KFReAnchor", "KFDriftRotStd", "KFDriftTransStd",
              "KFAlignRotUncertMax", "KFAlignTransUncertMax",
              "MatchFieldStride", "FieldRadius", "MeshDataAxis",
              "UseBf16Images", "UsePallas", "NavLogCap", "GaugeExport")),

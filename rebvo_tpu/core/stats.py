@@ -53,3 +53,12 @@ def eval_reciprocal(mean: Array, dev: Array, r: float = 1.0,
     mr = jnp.sum(rx * p, axis=-1) / mass
     vr = jnp.sum(jnp.square(rx - mr[..., None]) * p, axis=-1) / mass
     return mr, jnp.sqrt(vr)
+
+
+def masked_median(x, mask, fallback: float = 1.0):
+    """Median of x where mask, via one sort (TPU-friendly: fixed shapes,
+    no dynamic slicing); `fallback` when nothing is masked in."""
+    xs = jnp.sort(jnp.where(mask, x, jnp.asarray(jnp.inf, x.dtype)))
+    cnt = jnp.sum(mask).astype(jnp.int32)
+    med = xs[jnp.clip((cnt - 1) // 2, 0, x.shape[-1] - 1)]
+    return jnp.where(cnt > 0, med, jnp.asarray(fallback, x.dtype))

@@ -53,7 +53,31 @@ class KeylineMap(NamedTuple):
     m_id_f: Array   # int32 — forward match id (set by the pose minimiser)
     m_id_kf: Array  # int32 — match id in the last keyframe
     p_id: Array     # int32 — previous keyline on the edge chain
-    n_id: Array     # int32 — next keyline on the edge chain
+    n_id: Array     # int32 — next keyline on the chain
+    anchored: Array  # bool — depth was pair-anchored at the last stereo
+                     # fusion (stereo mode only; always False in mono).
+                     # The pose solver restricts its COST vote to these
+                     # when enough exist: mono-EKF depths co-adapt to
+                     # whatever velocity gauge the solver last produced,
+                     # so letting them vote lets a shrunken-V /
+                     # inflated-rho fixed point veto the metric motion
+                     # the pair-anchored depths demand.
+    rho_st: Array    # PURE pair-geometry inverse depth at the last
+                     # stereo fusion (0 = none). Unlike the fused `rho`
+                     # (which leans on the converged mono sigma and so
+                     # inherits any mono gauge error), this is a prior-
+                     # independent metric measurement — the right
+                     # regressor for the velocity-scale refinement.
+    ax: Array        # hom position at the last scale-anchor epoch
+    ay: Array        #   (stereo long-baseline scale observer; cloned
+                     #   through matching so it follows the keyline's
+                     #   identity across frames)
+    arho: Array      # pair-geometry rho at the anchor epoch (0 = no
+                     #   anchor). Over StereoScaleBaseFrames frames the
+                     #   accumulated displacement is several px, far
+                     #   above the matcher's ~0.15 px noise floor, so
+                     #   the translation scale becomes observable even
+                     #   when per-frame motion is sub-pixel.
 
     @property
     def K(self) -> int:
@@ -74,6 +98,8 @@ class KeylineMap(NamedTuple):
             rho=f(RHO_INIT), s_rho=f(RHO_MAX), rho0=f(RHO_INIT),
             s_rho0=f(RHO_MAX),
             m_num=i(0), m_id=i(), m_id_f=i(), m_id_kf=i(), p_id=i(), n_id=i(),
+            anchored=jnp.zeros(batch_shape + (K,), dtype=bool),
+            rho_st=f(0.0), ax=f(0.0), ay=f(0.0), arho=f(0.0),
         )
 
 

@@ -35,8 +35,8 @@ from rebvo_tpu.frontend.imu import (ImuWindow, IntegratedImu, ScaleWindows,
                                     integrate_window, mean_acel4,
                                     rotation_between)
 from rebvo_tpu.frontend.kf_tracking import KFCarry, track_keyframe
-from rebvo_tpu.frontend.state import (BIG, RHO_INIT, RHO_MAX, KeylineMap,
-                                      NavData)
+from rebvo_tpu.frontend.state import (BIG, RHO_INIT, RHO_MAX, RHO_MIN,
+                                      KeylineMap, NavData)
 from rebvo_tpu.kernels.depth_filter import (depth_ekf, estimate_quantile,
                                             estimate_rescaling_opt,
                                             regularize_1_iter)
@@ -56,6 +56,9 @@ Array = jax.Array
 # Intensity scale of the float images (the reference's RGB-sum
 # convention: max_img_value = 255*3, rebvo.cpp:300).
 MAX_IMG_VALUE = 765.0
+
+
+from rebvo_tpu.core.stats import masked_median as _masked_median
 
 
 class ImuCarry(NamedTuple):
@@ -198,6 +201,22 @@ class VOState(NamedTuple):
                            # the bootstrap gauge (GaugeExport). New
                            # capability over the reference, whose
                            # trajectory inherits the drift.
+    VScaleC: Array         # stereo: integral velocity-scale correction.
+                           # The edge-alignment cost is nearly |V|-flat
+                           # at sub-pixel per-frame motion and settles
+                           # shrunken; the pair-anchored scale residual
+                           # (velocity_scale_refine) measures the
+                           # remaining error each frame, attenuated by
+                           # the matcher's near-prediction priority, so
+                           # a PROPORTIONAL fix leaves a steady-state
+                           # bias and injects per-frame scale noise.
+                           # This integrator (C *= s_meas^alpha) drives
+                           # the steady-state error to zero with the
+                           # noise scaled down by alpha. 1.0 in mono.
+    aR: Array              # [3,3] accumulated rotation since the scale-
+                           # anchor epoch (long-baseline observer)
+    aV: Array              # [3] accumulated translation since the epoch
+    aAge: Array            # int32 frames since the epoch
 
 
 class FrameOutput(NamedTuple):
@@ -245,6 +264,10 @@ def init_state(params: REBVOParameters, dtype=jnp.float32) -> VOState:
         navlog=jnp.zeros((max(params.NavLogCap, 1), NAVLOG_WIDTH), dtype),
         navlog_n=jnp.zeros((), jnp.int32),
         G_gauge=jnp.ones((), dtype),
+        VScaleC=jnp.ones((), dtype),
+        aR=jnp.eye(3, dtype=dtype),
+        aV=jnp.zeros((3,), dtype),
+        aAge=jnp.zeros((), jnp.int32),
     )
 
 
@@ -384,6 +407,18 @@ class VOFrontend:
         return (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
                 field_img)
 
+    def _solver_vote_mask(self, old: KeylineMap):
+        """Stereo mode: restrict the pose solver's cost vote to the
+        pair-anchored keylines whenever enough exist (falls back to the
+        full map below GlobalMatchThreshold anchored, e.g. at frame 1 or
+        when the pair stream drops). None in mono mode (no-op)."""
+        if not self.stereo:
+            return None
+        anchored = old.valid & old.anchored
+        enough = jnp.sum(anchored) >= jnp.asarray(
+            self.params.GlobalMatchThreshold, jnp.int32)
+        return jnp.where(enough, anchored, old.valid)
+
     def _stereo_front(self, state: VOState, frame_pair):
         """Detect the stereo pair frame (when stereo is configured and a
         pair frame was supplied); returns the _tail stereo bundle plus the
@@ -406,21 +441,21 @@ class VOFrontend:
         (new_klm, new_mask, kl_num, thresh, retuned, s_rho_q, fv,
          field_img) = detection
 
-        if p.MatchFieldStride > 0:
-            stride = p.MatchFieldStride
-            steps = int(p.SearchRange / stride) + 3
-            dres = directed_matching_field(
-                new_klm, state.klm, state.field_img, V, P_V, R,
-                zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
-                width=cam.width, height=cam.height,
-                max_steps=steps, stride=stride,
-                min_thr_mod=p.MatchThreshModule,
-                min_thr_ang=p.MatchThreshAngle,
-                max_radius=float(p.SearchRange),
-                loc_uncertainty=p.LocationUncertaintyMatch)
-        else:
-            dres = directed_matching(
-                new_klm, state.klm, state.mask_img, V, P_V, R,
+        def _match(Vm):
+            if p.MatchFieldStride > 0:
+                stride = p.MatchFieldStride
+                steps = int(p.SearchRange / stride) + 3
+                return directed_matching_field(
+                    new_klm, state.klm, state.field_img, Vm, P_V, R,
+                    zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
+                    width=cam.width, height=cam.height,
+                    max_steps=steps, stride=stride,
+                    min_thr_mod=p.MatchThreshModule,
+                    min_thr_ang=p.MatchThreshAngle,
+                    max_radius=float(p.SearchRange),
+                    loc_uncertainty=p.LocationUncertaintyMatch)
+            return directed_matching(
+                new_klm, state.klm, state.mask_img, Vm, P_V, R,
                 zfm=cam.zfm, cx=cam.cx, cy=cam.cy,
                 width=cam.width, height=cam.height,
                 max_steps=p.MatchMaxSteps,
@@ -428,6 +463,42 @@ class VOFrontend:
                 min_thr_ang=p.MatchThreshAngle,
                 max_radius=float(p.SearchRange),
                 loc_uncertainty=p.LocationUncertaintyMatch)
+
+        C_vel = state.VScaleC
+        rescale_on = stereo is not None and p.StereoVelRescale
+        if rescale_on:
+            # Stereo translation-scale architecture. The edge-alignment
+            # cost is nearly FLAT in |V| at sub-pixel per-frame motion
+            # (measured: <4% cost change between 0.5x and 1x the true
+            # translation on loop_st), so the solver's magnitude is
+            # noise that drifts shrunken; left alone the whole system
+            # co-adapts to it (measured 13x trajectory shrink). Post-
+            # bootstrap, the solver therefore keeps only DIRECTION
+            # authority; the magnitude is a carried state steered in
+            # closed loop by two pair-anchored observers:
+            #   * velocity_scale_refine — per-frame, prediction-relative
+            #     (mean-reverting, gain 0.3);
+            #   * anchor_scale_measure — every StereoScaleBaseFrames
+            #     frames over the accumulated motion, where the scale is
+            #     strongly observable (gain 1: truth injection).
+            # During bootstrap (first BootstrapRescaleFrames) the solver
+            # keeps magnitude authority times the VScaleC integrator —
+            # dynamics are too fast for the carry there.
+            boot = state.frame_count <= p.BootstrapRescaleFrames
+            mag_prev = jnp.linalg.norm(state.Vel)
+            # C scales the raw solver velocity: the solver's absolute
+            # magnitude is biased (flat cost) but its frame-to-frame
+            # RELATIVE change tracks real accelerations, so C x solver
+            # keeps the dynamics while the epoch observer trims C. The
+            # relative leash bounds single-frame magnitude jumps.
+            V = V * C_vel
+            mag_raw = jnp.linalg.norm(V)
+            leash_ok = (~boot) & (mag_prev > 1e-8) & (mag_raw > 1e-12)
+            mag_cl = jnp.clip(mag_raw, 0.7 * mag_prev, 1.4 * mag_prev)
+            V = jnp.where(leash_ok,
+                          V * (mag_cl / jnp.maximum(mag_raw, 1e-12)), V)
+
+        dres = _match(V)
         klm_num = dres.nmatch
 
         match_fail = klm_num < p.GlobalMatchThreshold
@@ -435,7 +506,83 @@ class VOFrontend:
         if extra_ok is not None:
             est_ok = est_ok & extra_ok
 
-        proc, _ = regularize_1_iter(dres.new, p.RegularizeThresh)
+        if rescale_on:
+            from rebvo_tpu.kernels.stereo import (anchor_scale_measure,
+                                                  velocity_scale_refine)
+            s_meas, n_sc = velocity_scale_refine(
+                dres.new, state.klm, V, cam.zfm,
+                k_px=float(p.LocationUncertaintyMatch) / 2.0)
+            s_meas = jnp.where(est_ok & (n_sc >= 100), s_meas, 1.0)
+            at_epoch = state.aAge >= p.StereoScaleBaseFrames
+            aV_cur = R.T @ state.aV + V
+            aR_cur = R.T @ state.aR
+            s_long, n_long = anchor_scale_measure(
+                dres.new, aR_cur, aV_cur, cam.zfm)
+            # the accumulated-motion measurement is valid at ANY age
+            # >= 4 (signal already several times the noise floor), so it
+            # runs continuously at a soft gain instead of only at the
+            # epoch boundary — no sawtooth, no acceleration lag
+            s_long = jnp.where(est_ok & (state.aAge >= 4) & (n_long >= 50),
+                               s_long, 1.0)
+            # Post-bootstrap only the EPOCH observer drives the level:
+            # the per-frame ratio is biased ~7% low by the matcher's
+            # near-prediction attenuation (measured s_meas ~0.93 at a
+            # correct magnitude), which at any nonzero gain leaks a
+            # steady downward drift between epochs.
+            upd = s_meas ** jnp.where(boot, 1.0, 0.0) * s_long ** 0.8
+            upd = jnp.where(est_ok, jnp.clip(upd, 0.5, 2.0), 1.0)
+            V = V * upd
+            C_vel = jnp.clip(C_vel * upd, 0.05, 50.0)
+            # log-domain EMA of the applied magnitude: the solver's
+            # frame-to-frame magnitude noise (~10-15%) otherwise passes
+            # straight into the trajectory as scale wobble that the
+            # Sim(3) ATE cannot align away; beta=0.4 filters it to ~6%
+            # while real accelerations are followed with a ~2-frame lag
+            mag2 = jnp.linalg.norm(V)
+            sm_ok = leash_ok & est_ok & (mag2 > 1e-12)
+            mag_sm = mag_prev ** 0.6 * jnp.maximum(mag2, 1e-12) ** 0.4
+            V = jnp.where(sm_ok, V * (mag_sm / jnp.maximum(mag2, 1e-12)),
+                          V)
+            if __import__("os").environ.get("REBVO_DEBUG_SVEL"):
+                jax.debug.print(
+                    "age={a} ep={e} s_meas={s} n_sc={n} s_long={sl} "
+                    "n_long={nl} C={c}",
+                    a=state.aAge, e=at_epoch, s=s_meas, n=n_sc,
+                    sl=s_long, nl=n_long, c=C_vel)
+            # epoch bookkeeping: compose this frame's (refined) motion;
+            # reset at the epoch boundary
+            aV_cur = R.T @ state.aV + V
+            eye3 = jnp.eye(3, dtype=V.dtype)
+            aR_new = jnp.where(at_epoch, eye3, aR_cur)
+            aV_new = jnp.where(at_epoch, jnp.zeros((3,), V.dtype), aV_cur)
+            aAge_new = jnp.where(at_epoch, 0, state.aAge + 1)
+        else:
+            at_epoch = jnp.asarray(False)
+            aR_new, aV_new, aAge_new = state.aR, state.aV, state.aAge
+
+        new_map = dres.new
+        if p.SeedRhoMapMedian and stereo is not None:
+            # Gauge-coherent birth depth: fresh keylines (no backward
+            # match) start at the median rho of the mature population
+            # instead of the reference's fixed RhoInit=1
+            # (edge_finder.h:42). A fixed far-from-population seed keeps
+            # re-injecting a second gauge every frame; the pose solver
+            # then splits the difference between the two populations and
+            # systematically shrinks V (measured 13x on loop_st, where
+            # stereo fusion pins the mature population metric). Falls
+            # back to RhoInit while nothing is mature (bootstrap), and
+            # s_rho stays at RHO_MAX so the seed carries no false
+            # confidence.
+            mature = new_map.valid & (new_map.m_num > 0)
+            seed = jnp.clip(
+                _masked_median(new_map.rho, mature, fallback=RHO_INIT),
+                RHO_MIN, RHO_MAX)
+            fresh = new_map.valid & (new_map.m_num == 0)
+            new_map = new_map._replace(
+                rho=jnp.where(fresh, seed, new_map.rho),
+                rho0=jnp.where(fresh, seed, new_map.rho0))
+
+        proc, _ = regularize_1_iter(new_map, p.RegularizeThresh)
         proc = depth_ekf(proc, V, cam.zfm,
                          reshape_q_abs=p.ReshapeQAbsolute,
                          loc_uncertainty=p.LocationUncertainty)
@@ -458,7 +605,8 @@ class VOFrontend:
                 min_thr_mod=p.MatchThreshModule,
                 min_thr_ang=p.MatchThreshAngle,
                 max_radius=float(p.StereoSearchRange),
-                loc_uncertainty=p.LocationUncertaintyMatch)
+                loc_uncertainty=p.LocationUncertaintyMatch,
+                prior_window=bool(p.StereoPriorWindow))
             # Bootstrap re-gauge to the METRIC stereo gauge (beyond the
             # reference, which only information-fuses per keyline —
             # leaving the map near the arbitrary mono bootstrap gauge,
@@ -469,23 +617,49 @@ class VOFrontend:
             # lands baseline-metric before the mono EKF tightens, the
             # fusion then refines consistently, and in VI mode the scale
             # filter initialises against a gauge that is already ~1.
+            # The ratio is the MEDIAN over matched pairs — a one-shot
+            # robust gauge. (The round-4 information-weighted LS ratio
+            # was dominated by already-fused small-sigma keylines, so the
+            # correction converged over ~11 frames; meanwhile the map
+            # held two inconsistent depth populations, which is exactly
+            # the regime where the pose solver collapses V — measured
+            # V/V_gt = 1/61 at frame 2 of loop_st.)
+            gauge_div = jnp.ones((), dt_f)
             if p.BootstrapRescaleFrames > 0:
-                hasm = (sres.stereo_m_id >= 0) & proc.valid
-                wst = jnp.where(
-                    hasm, 1.0 / (jnp.square(proc.s_rho) +
-                                 jnp.square(sres.stereo_s_rho)), 0.0)
-                num = jnp.sum(wst * proc.rho * proc.rho)
-                den = jnp.sum(wst * sres.stereo_rho * proc.rho)
-                g_st = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
-                                 1.0)
+                hasm = (sres.stereo_m_id >= 0) & proc.valid & \
+                    (sres.stereo_rho > RHO_MIN)
+                g_st = _masked_median(
+                    proc.rho / jnp.maximum(sres.stereo_rho, RHO_MIN), hasm)
+                g_st = jnp.clip(g_st, 1e-3, 1e3)
                 boot_st = (state.frame_count <= p.BootstrapRescaleFrames) \
                     & (sres.nmatch > p.GlobalMatchThreshold) \
                     & (jnp.abs(g_st - 1.0) > 0.05) & est_ok
                 div_st = jnp.where(boot_st, g_st, 1.0)
                 proc = proc._replace(rho=proc.rho / div_st,
                                      s_rho=proc.s_rho / div_st)
+                gauge_div = div_st
             proc = fuse_stereo_depth(proc, sres.stereo_m_id,
                                      sres.stereo_rho, sres.stereo_s_rho)
+            # Pair-anchored flags for the NEXT frame's pose-solver vote
+            # (KeylineMap.anchored): only depths the pair measured this
+            # frame may vote on the motion; mono-EKF depths co-adapt to
+            # the solver's own gauge and would sustain a shrunken-V
+            # fixed point (measured: V/V_gt 1/6 with a metric-median
+            # map on loop_st).
+            has_st = (sres.stereo_m_id >= 0) & proc.valid
+            proc = proc._replace(
+                anchored=has_st,
+                rho_st=jnp.where(has_st, sres.stereo_rho, 0.0))
+            if p.StereoVelRescale:
+                # scale-anchor epoch reset: re-anchor every keyline that
+                # has a fresh pair depth at its CURRENT position
+                proc = proc._replace(
+                    ax=jnp.where(at_epoch, proc.px, proc.ax),
+                    ay=jnp.where(at_epoch, proc.py, proc.ay),
+                    arho=jnp.where(
+                        at_epoch,
+                        jnp.where(has_st, sres.stereo_rho, 0.0),
+                        proc.arho))
             stereo_num = sres.nmatch
             Kp_new = jnp.ones((), dt_f)
             P_Kp_new = state.P_Kp
@@ -507,6 +681,7 @@ class VOFrontend:
             # vs 0.98 with). Mono exports are Sim(3)-gauge-free and
             # measure slightly better without the extra multiplicative
             # noise, so they keep the reference-exact no-rescale path.
+            gauge_div = jnp.ones((), dt_f)
             proc, Kp_new, P_Kp_new = estimate_rescaling_opt(
                 proc, apply=False)
             if p.ImuMode > 0 and p.BootstrapRescaleFrames > 0:
@@ -536,8 +711,16 @@ class VOFrontend:
             Kp_gauge = jnp.ones((), dt_f)
         P_Kp = jnp.where(nan_fail, BIG, jnp.where(match_fail, 10.0, P_Kp_new))
         V_out = jnp.where(est_ok, V, 0.0)
+        # gauge_div: factor the map's inverse depths were DIVIDED by this
+        # frame (stereo bootstrap re-gauge). Pixel displacement goes as
+        # rho*V, so the warm-start velocity the caller carries must be
+        # MULTIPLIED by the same factor — leaving it in the old gauge
+        # after a large one-shot re-gauge strands the next frame's solver
+        # in the shrunken-translation local minimum (pose_solver.py
+        # docstring; measured V collapse x10 at loop_st frame 2).
         return (new_final, klm_num, est_ok, Kp, Kp_gauge, P_Kp, V_out,
-                s_rho_q, stereo_num)
+                s_rho_q, stereo_num, gauge_div, C_vel,
+                aR_new, aV_new, aAge_new)
 
     # ------------------------------------------------------------------
     # Vision-only path (rebvo_second_t.cpp:338-382 + common tail)
@@ -581,7 +764,8 @@ class VOFrontend:
             match_thresh=p.TrackerMatchThresh, max_s_rho=s_rho_q,
             match_num_min=match_num_min, k_huber=p.ReweigthDistance,
             iter_max=p.TrackerIterNum, init_iter=p.TrackerInitIterNum,
-            init_type=p.TrackerInitType)
+            init_type=p.TrackerInitType,
+            vote_mask=self._solver_vote_mask(old))
 
         nan_fail = jnp.any(~jnp.isfinite(mres.Vel)) | \
             jnp.any(~jnp.isfinite(mres.W0))
@@ -598,7 +782,8 @@ class VOFrontend:
         detection2 = (new_fm,) + detection[1:]
 
         (new_final, klm_num, est_ok, Kp, Kp_gauge, P_Kp, V_out, s_rho_q,
-         stereo_num) = self._tail(
+         stereo_num, gauge_div, C_vel, aR_new, aV_new,
+         aAge_new) = self._tail(
             state2, detection2, V, P_V, R, nan_fail, stereo=stereo)
 
         K_scale = state.K_scale
@@ -649,10 +834,12 @@ class VOFrontend:
             klm=new_final, mask_img=new_mask, field_img=field_img,
             thresh=thresh, retuned=retuned, last_kl_num=kl_num,
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
-            Vel=V_out, W0=W, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale, Pose=Pose,
+            Vel=V_out * gauge_div, W0=W, Kp=Kp, P_Kp=P_Kp,
+            K_scale=K_scale, Pose=Pose,
             Pos=Pos, t=t, frame_count=state.frame_count + 1, imu=state.imu,
             kf=kf_carry, navlog=navlog, navlog_n=navlog_n,
-            G_gauge=G_gauge)
+            G_gauge=G_gauge, VScaleC=C_vel,
+            aR=aR_new, aV=aV_new, aAge=aAge_new)
         return new_state, out
 
     # ------------------------------------------------------------------
@@ -737,7 +924,8 @@ class VOFrontend:
             max_r=jnp.asarray(float(p.SearchRange), dt_f),
             match_thresh=p.TrackerMatchThresh, max_s_rho=s_rho_q,
             match_num_min=match_num_min, k_huber=p.ReweigthDistance,
-            min_mod=state.retuned, iter_max=p.TrackerIterNum)
+            min_mod=state.retuned, iter_max=p.TrackerIterNum,
+            vote_mask=self._solver_vote_mask(old_pre))
         Vg = vres.Vel
         P_Vg = vres.RVel
 
@@ -804,7 +992,8 @@ class VOFrontend:
         P_V = jnp.where(nan_fail, eye3 * BIG, P_V)
 
         (new_final, klm_num, est_ok, Kp, Kp_gauge, P_Kp, V_out, s_rho_q,
-         stereo_num) = self._tail(
+         stereo_num, gauge_div, C_vel, aR_new, aV_new,
+         aAge_new) = self._tail(
             state2, detection2, V, P_V, R, nan_fail, stereo=stereo)
 
         # --- Gravity-aligned pose integration (rebvo_second_t.cpp:528-546).
@@ -839,7 +1028,7 @@ class VOFrontend:
 
         imu_carry = ImuCarry(
             init=init, n_init=n_init, giro_init=giro_init, g_init=g_init,
-            Bg=Bg, W_Bg=W_Bg, Vg=Vg, X7=X7, P7=P7, u_est=u_est,
+            Bg=Bg, W_Bg=W_Bg, Vg=Vg * gauge_div, X7=X7, P7=P7, u_est=u_est,
             g_est=g_est, b_est=b_est, windows=win2, Posgv=Posgv)
 
         W_X_out = jnp.where(nan_fail, jnp.eye(6, dtype=dt_f) * 1e-12,
@@ -859,10 +1048,13 @@ class VOFrontend:
             klm=new_final, mask_img=new_mask, field_img=field_img,
             thresh=thresh, retuned=retuned, last_kl_num=kl_num,
             thresh_pair=thresh_pair, last_kl_num_pair=kl_num_pair,
-            Vel=V_out, W0=dWgv, Kp=Kp, P_Kp=P_Kp, K_scale=K_scale,
+            Vel=V_out * gauge_div, W0=dWgv, Kp=Kp, P_Kp=P_Kp,
+            K_scale=K_scale,
             Pose=Pose, Pos=Pos, t=t, frame_count=state.frame_count + 1,
             imu=imu_carry, kf=kf_carry, navlog=navlog, navlog_n=navlog_n,
-            G_gauge=state.G_gauge)   # VI: metric scale K owns the gauge
+            G_gauge=state.G_gauge,   # VI: metric scale K owns the gauge
+            VScaleC=C_vel,
+            aR=aR_new, aV=aV_new, aAge=aAge_new)
         return new_state, out
 
     # ------------------------------------------------------------------

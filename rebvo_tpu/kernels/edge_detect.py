@@ -231,6 +231,8 @@ def compact_keylines(
         m_id_f=jnp.full((K,), -1, dtype=jnp.int32),
         m_id_kf=jnp.full((K,), -1, dtype=jnp.int32),
         p_id=p_id, n_id=n_id,
+        anchored=jnp.zeros((K,), dtype=bool),
+        rho_st=f0, ax=f0, ay=f0, arho=f0,
     )
     return klm, mask_img, n_keep
 

@@ -89,6 +89,10 @@ def forward_match(old: KeylineMap, new: KeylineMap,
         g0y=jnp.where(has, g(old.gy), new.g0y),
         n_m0=jnp.where(has, g(old.n_m), new.n_m0),
         m_id_kf=jnp.where(has, g(old.m_id_kf), new.m_id_kf),
+        # long-baseline scale-anchor identity (state.py ax/ay/arho)
+        ax=jnp.where(has, g(old.ax), new.ax),
+        ay=jnp.where(has, g(old.ay), new.ay),
+        arho=jnp.where(has, g(old.arho), new.arho),
     )
     nmatch = jnp.sum(has & new.valid).astype(jnp.int32)
     return new2, nmatch
@@ -260,6 +264,9 @@ def directed_matching(
         g0y=jnp.where(matched, g(old.gy), new.g0y),
         n_m0=jnp.where(matched, g(old.n_m), new.n_m0),
         m_id_kf=jnp.where(matched, g(old.m_id_kf), new.m_id_kf),
+        ax=jnp.where(matched, g(old.ax), new.ax),
+        ay=jnp.where(matched, g(old.ay), new.ay),
+        arho=jnp.where(matched, g(old.arho), new.arho),
     )
     nmatch = jnp.sum(matched).astype(jnp.int32)
     kf_matches = jnp.sum(matched & (new2.m_id_kf >= 0)).astype(jnp.int32)
@@ -414,6 +421,9 @@ def directed_matching_field(
         g0y=jnp.where(matched, g(old.gy), new.g0y),
         n_m0=jnp.where(matched, g(old.n_m), new.n_m0),
         m_id_kf=jnp.where(matched, g(old.m_id_kf), new.m_id_kf),
+        ax=jnp.where(matched, g(old.ax), new.ax),
+        ay=jnp.where(matched, g(old.ay), new.ay),
+        arho=jnp.where(matched, g(old.arho), new.arho),
     )
     nmatch = jnp.sum(matched).astype(jnp.int32)
     kf_matches = jnp.sum(matched & (new2.m_id_kf >= 0)).astype(jnp.int32)

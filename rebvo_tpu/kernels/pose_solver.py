@@ -97,6 +97,13 @@ def try_vel_rot(
     k_huber: float,
     min_mod: Array = None,         # gradient-modulus gate (TryVel's
                                    # min_mod, global_tracker.cpp:851)
+    vote_mask: Array = None,       # [K] bool — keylines allowed to VOTE
+                                   # in the cost/Jacobian (stereo mode
+                                   # restricts the vote to pair-anchored
+                                   # depths; see KeylineMap.anchored).
+                                   # Match determination (m_id_f) is
+                                   # unaffected, so depth propagation
+                                   # through forward matches stays whole.
 ) -> TryVelRotResult:
     """One robust residual/Jacobian evaluation (the reference's TryVelRot,
     global_tracker.cpp:285-543, with the self-consistent cost described in
@@ -192,7 +199,8 @@ def try_vel_rot(
     w = jnp.where(inlier, 1.0, 0.0)
 
     cost = jnp.where(gated, 0.0, jnp.where(matched, cost_m, k * k))
-    score = jnp.sum(jnp.where(old.valid, cost, 0.0))
+    voter = old.valid if vote_mask is None else (old.valid & vote_mask)
+    score = jnp.sum(jnp.where(voter, cost, 0.0))
 
     m_id_f = jnp.where(matched, j, -1)
 
@@ -214,8 +222,8 @@ def try_vel_rot(
         ],
         axis=-1,
     ) * sw[:, None]
-    J = jnp.where((old.valid & matched)[:, None], J, 0.0)
-    fw = jnp.where(old.valid & matched, r * jnp.sqrt(w), 0.0)
+    J = jnp.where((voter & matched)[:, None], J, 0.0)
+    fw = jnp.where(voter & matched, r * jnp.sqrt(w), 0.0)
 
     JtJ = jnp.einsum("ki,kj->ij", J, J, precision=_HI)
     JtF = jnp.einsum("ki,k->i", J, fw, precision=_HI)
@@ -258,6 +266,7 @@ def minimizer_rv(
     max_r: Array, match_thresh: float, max_s_rho: Array,
     match_num_min: Array, k_huber: float,
     iter_max: int, init_iter: int, init_type: int = 2,
+    vote_mask: Array = None,
 ) -> MinimizerRVResult:
     """Levenberg-Marquardt over [V; W] (the reference's Minimizer_RV,
     global_tracker.cpp:578-819; priors disabled as in its vision-only
@@ -268,7 +277,8 @@ def minimizer_rv(
 
     kw = dict(zfm=zfm, cx=cx, cy=cy, width=width, height=height,
               max_r=max_r, match_thresh=match_thresh, max_s_rho=max_s_rho,
-              match_num_min=match_num_min, k_huber=k_huber)
+              match_num_min=match_num_min, k_huber=k_huber,
+              vote_mask=vote_mask)
 
     prior_X = jnp.concatenate([Vel, W0])
     # Freeze the noise shaping at the prior state for the whole frame.
@@ -371,6 +381,7 @@ def minimizer_v(
     max_r: Array, match_thresh: float, max_s_rho: Array,
     match_num_min: Array, k_huber: float, min_mod: Array,
     iter_max: int,
+    vote_mask: Array = None,
 ) -> MinimizerVResult:
     """Translation-only LM (the reference's Minimizer_V / TryVel,
     global_tracker.cpp:829-1093) used on the IMU path after gyro
@@ -381,7 +392,8 @@ def minimizer_v(
 
     kw = dict(zfm=zfm, cx=cx, cy=cy, width=width, height=height,
               max_r=max_r, match_thresh=match_thresh, max_s_rho=max_s_rho,
-              match_num_min=match_num_min, k_huber=k_huber, min_mod=min_mod)
+              match_num_min=match_num_min, k_huber=k_huber, min_mod=min_mod,
+              vote_mask=vote_mask)
 
     zeros3 = jnp.zeros((3,), dt)
     prior_X = jnp.concatenate([Vel, zeros3])

@@ -60,7 +60,7 @@ def stereo_depth(px0, py0, ux1, uy1, pm1x, pm1y, R01, t01, zf0, zf1,
 
 @partial(jax.jit, static_argnames=(
     "width", "height", "max_steps", "min_thr_mod", "min_thr_ang",
-    "max_radius", "loc_uncertainty"))
+    "max_radius", "loc_uncertainty", "prior_window"))
 def directed_matching_stereo(
     klm0: KeylineMap,            # cam0 map (queries)
     klm1: KeylineMap,            # cam1 map (targets)
@@ -71,15 +71,33 @@ def directed_matching_stereo(
     zf0: Array, zf1: Array, cx1: Array, cy1: Array,
     width: int, height: int, max_steps: int,
     min_thr_mod: float, min_thr_ang: float, max_radius: float,
-    loc_uncertainty: float,
+    loc_uncertainty: float, prior_window: bool = False,
 ) -> StereoMatchResult:
     dt = klm0.x.dtype
     K = klm0.K
     cang_min = jnp.cos(jnp.deg2rad(jnp.asarray(min_thr_ang, dt)))
 
-    # Depth-range segment endpoints in cam1 (edge_tracker.cpp:520-537).
-    min_rho = jnp.clip(klm0.rho - klm0.s_rho, RHO_MIN, RHO_MAX)
-    max_rho = jnp.clip(klm0.rho + klm0.s_rho, RHO_MIN, RHO_MAX)
+    if prior_window:
+        # Reference behaviour: depth-range segment endpoints from the
+        # mono prior's +-sigma band (edge_tracker.cpp:520-537). Once the
+        # mono EKF converges, the band collapses to ~+-2 px around the
+        # PRIOR depth and any edge inside it "confirms" whatever gauge
+        # the prior has — self-confirming wrong matches that hold the
+        # whole system at an arbitrary gauge (the reference's stereo
+        # never recovers metric scale: PARITY_r04 align_scale 12.1).
+        min_rho = jnp.clip(klm0.rho - klm0.s_rho, RHO_MIN, RHO_MAX)
+        max_rho = jnp.clip(klm0.rho + klm0.s_rho, RHO_MIN, RHO_MAX)
+    else:
+        # Prior-free search (the default, beyond the reference): walk
+        # the FULL disparity range; the two-candidate ambiguity
+        # rejection below is the guard against repeated texture. A
+        # keyline that cannot be matched unambiguously is simply not
+        # pair-anchored this frame — the mono EKF carries it — while
+        # every anchored depth is a prior-independent METRIC measurement
+        # of the 3D point, which is what lets the pair baseline pin the
+        # global gauge.
+        min_rho = jnp.full_like(klm0.rho, RHO_MIN)
+        max_rho = jnp.full_like(klm0.rho, RHO_MAX)
 
     def proj1(rho):
         z = 1.0 / rho
@@ -121,8 +139,10 @@ def directed_matching_stereo(
     lin = jnp.clip(qy, 0, height - 1) * width + jnp.clip(qx, 0, width - 1)
     j = jnp.where(cand_ok & inb, mask1.reshape(-1)[lin], -1)
 
-    # shortlist of first hits
-    hit_cap = 12
+    # shortlist of first hits (prior-free search walks up to ~max_radius
+    # px of texture, so keep enough slots that a second incompatible
+    # edge further along the segment can still void the match)
+    hit_cap = 16
     nc = j.shape[-1]
     hit = j >= 0
     prio = jnp.where(hit, nc - jnp.arange(nc, dtype=jnp.int32)[None, :], 0)
@@ -176,6 +196,159 @@ def directed_matching_stereo(
     nmatch = jnp.sum((m_id >= 0) & klm0.valid).astype(jnp.int32)
     return StereoMatchResult(klm=klm0, stereo_m_id=m_id, stereo_rho=rho_st,
                              stereo_s_rho=s_st, nmatch=nmatch)
+
+
+def velocity_scale_refine(new: KeylineMap, old: KeylineMap, V: Array,
+                          zfm, k_px: float = 1.0):
+    """1-D refinement of the translation SCALE against the pair-anchored
+    depths (beyond the reference; same 1-D-scale idea as its
+    kfvo::optimizeScale, reference src/mtracklib/kfvo.cpp:222-303, but
+    frame-to-frame and against metric pair depths).
+
+    The field-gathered robust cost the 6-dof solver minimises is nearly
+    flat in |V| at sub-pixel per-frame displacements (its residual is a
+    nearest-edge distance, quantised by detection noise), so a shrunken
+    translation survives LM. This instead uses the DIRECTED-MATCHING
+    correspondences — true subpixel keyline-to-keyline displacements —
+    restricted to pair-anchored (metric) depths, where the scale is a
+    linear least-squares problem:
+
+        q_i(sV) . u_i  ~=  q_i(0) . u_i + s * a_i,
+        s* = sum w a_i b_i / sum w a_i^2,
+        a_i = (q_i(V) - q_i(0)) . u_i   (predicted normal displacement)
+        b_i = (q_meas_i - q_i(0)) . u_i (measured normal displacement)
+
+    with 2 IRLS rounds (hard trim at k_px). `old` must already carry the
+    frame rotation (the caller aligns maps before matching), so V is the
+    only remaining motion. Returns (s, n_used); s = 1 when the problem
+    is ill-conditioned (too few anchored matches or no excitation).
+    """
+    from rebvo_tpu.core.stats import masked_median
+
+    dt = V.dtype
+    j = new.m_id
+    has = (j >= 0) & new.valid
+    js = jnp.maximum(j, 0)
+    # Regress against the PURE pair-geometry rho (KeylineMap.rho_st),
+    # not the fused depth: once the mono EKF has converged its sigma
+    # out-weighs the pair in the fusion, so the fused rho inherits any
+    # mono gauge error and the refine would confirm it (measured: the
+    # fused-rho regressor read b/a ~ 0.66 at the TRUE velocity).
+    rho = old.rho_st[js]
+    use = has & old.anchored[js] & old.valid[js] & (rho > RHO_MIN)
+
+    rho = jnp.maximum(rho, RHO_MIN)
+    Pz = 1.0 / rho
+    Px = old.px[js] * Pz / zfm
+    Py = old.py[js] * Pz / zfm
+    q0x = old.px[js]
+    q0y = old.py[js]
+    tz = Pz + V[2]
+    tz = jnp.where(jnp.abs(tz) > 1e-9, tz, 1e-9)
+    qVx = (Px + V[0]) * zfm / tz
+    qVy = (Py + V[1]) * zfm / tz
+    ux = new.ux
+    uy = new.uy
+    a = (qVx - q0x) * ux + (qVy - q0y) * uy
+    b = (new.px - q0x) * ux + (new.py - q0y) * uy
+
+    # Median-of-ratios over the displacement-informative half: plain LS
+    # (sum ab / sum a^2) is attenuated toward small s by the ~35%
+    # per-keyline noise of the single-frame pair depth in the regressor
+    # (errors-in-variables); the ratio median is robust to symmetric
+    # multiplicative regressor noise AND to wrong-match outliers.
+    abs_a = jnp.abs(a)
+    a_med = masked_median(abs_a, use, fallback=0.0)
+    inform = use & (abs_a > jnp.maximum(a_med, 0.02))
+    ratio = b / jnp.where(abs_a > 1e-6, a, 1.0)
+    s = masked_median(ratio, inform)
+    # one trim round against the first estimate
+    inl = inform & (jnp.abs(b - s * a) <= k_px)
+    s = masked_median(ratio, inl, fallback=1.0)
+    n_used = jnp.sum(inl).astype(jnp.int32)
+    ok = (n_used > 20) & (s > 0.05) & (s < 50.0)
+    return jnp.where(ok, s, 1.0), n_used
+
+
+def anchor_scale_measure(klm: KeylineMap, aR: Array, aV: Array, zfm,
+                         k_px: float = 2.5):
+    """Long-baseline translation-scale measurement against per-keyline
+    scale anchors (KeylineMap.ax/ay/arho; beyond the reference).
+
+    velocity_scale_refine's per-frame signal saturates at the matcher's
+    ~0.15 px noise floor — a 30% scale error on a 0.5 px/frame scene is
+    invisible. Here each anchored keyline's position is predicted from
+    its ANCHOR-epoch position (StereoScaleBaseFrames ago) through the
+    accumulated motion (aR, aV): the translation-induced displacement is
+    M times larger, so the scale s on aV is strongly observable:
+
+        q(s) ~= q_rot + s * (q(1) - q_rot),
+        a_i = (q(1) - q_rot) . u_i,  b_i = (q_meas - q_rot) . u_i,
+
+    with q_rot the rotation-only projection (removes the rotation's
+    displacement). Median-of-ratios + one trim round as in
+    velocity_scale_refine. Returns (s, n_used)."""
+    from rebvo_tpu.core.stats import masked_median
+
+    dt = aV.dtype
+    use = klm.valid & (klm.arho > RHO_MIN)
+    rho = jnp.maximum(klm.arho, RHO_MIN)
+    Pz = 1.0 / rho
+    Px = klm.ax * Pz / zfm
+    Py = klm.ay * Pz / zfm
+    r0x = aR[0, 0] * Px + aR[0, 1] * Py + aR[0, 2] * Pz
+    r0y = aR[1, 0] * Px + aR[1, 1] * Py + aR[1, 2] * Pz
+    r0z = aR[2, 0] * Px + aR[2, 1] * Py + aR[2, 2] * Pz
+    z0 = jnp.where(jnp.abs(r0z) > 1e-9, r0z, 1e-9)
+    q0x = r0x * zfm / z0
+    q0y = r0y * zfm / z0
+    z1 = r0z + aV[2]
+    z1 = jnp.where(jnp.abs(z1) > 1e-9, z1, 1e-9)
+    q1x = (r0x + aV[0]) * zfm / z1
+    q1y = (r0y + aV[1]) * zfm / z1
+
+    a = (q1x - q0x) * klm.ux + (q1y - q0y) * klm.uy
+    b = (klm.px - q0x) * klm.ux + (klm.py - q0y) * klm.uy
+
+    # Joint (scale, rotation-correction) estimation. The pose solver
+    # trades translation against rotation (for the far field their image
+    # motions are nearly indistinguishable), so the accumulated aR
+    # carries a compensating rotation error that HIDES the translation
+    # deficit from a scale-only regression (measured: scale-only read
+    # 0.99 while |aV| was 31% short with GT-verified anchors). Solving
+    #     b_i = s * a_i + (J_w,i dw) . u_i
+    # for x = [s, zf*dw] identifies the scale because the anchors span
+    # 1.8-8 m of depth: rotation moves all of them alike, translation
+    # moves them in proportion to rho.
+    jx_wx = -q0x * q0y / zfm
+    jx_wy = zfm + q0x * q0x / zfm
+    jx_wz = -q0y
+    jy_wx = -(zfm + q0y * q0y / zfm)
+    jy_wy = q0x * q0y / zfm
+    jy_wz = q0x
+    # columns scaled by 1/zf so x[1:] = zf*dw stays O(px) — conditions
+    # the 4x4 normal system for f32
+    c1 = (jx_wx * klm.ux + jy_wx * klm.uy) / zfm
+    c2 = (jx_wy * klm.ux + jy_wy * klm.uy) / zfm
+    c3 = (jx_wz * klm.ux + jy_wz * klm.uy) / zfm
+    A = jnp.stack([a, c1, c2, c3], axis=-1)          # [K, 4]
+
+    w = use.astype(dt)
+    x = jnp.asarray([1.0, 0.0, 0.0, 0.0], dt)
+    for _ in range(3):
+        Aw = A * w[:, None]
+        AtA = Aw.T @ A + 1e-6 * jnp.eye(4, dtype=dt)
+        Atb = Aw.T @ b
+        x = jnp.linalg.solve(AtA, Atb)
+        resid = b - A @ x
+        w = jnp.where(use & (jnp.abs(resid) <= k_px), 1.0, 0.0)
+    s = x[0]
+    n_used = jnp.sum(w > 0).astype(jnp.int32)
+    # excitation guard: without enough translation signal the s column
+    # is near-zero and the solve is rotation-dominated
+    sig = jnp.sum(w * a * a)
+    ok = (n_used > 50) & (s > 0.05) & (s < 50.0) & (sig > 1.0)
+    return jnp.where(ok, s, 1.0), n_used
 
 
 def fuse_stereo_depth(klm: KeylineMap, stereo_m_id: Array, stereo_rho: Array,

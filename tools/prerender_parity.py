@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rebvo_tpu.apps import parity  # noqa: E402
 
-SEEDS = {"lateral_arc": 7, "dolly": 20, "loop": 33}
+SEEDS = {"lateral_arc": 7, "dolly": 20, "loop": 33, "loop3": 33}
 
 
 def seed_for(kind: str) -> int:
