@@ -669,10 +669,16 @@ def main(argv=None):
                 "lateral_arc_st": 7, "dolly_st": 20, "loop_st": 33}
     results = []
     for kind in args.seqs.split(","):
+        # per-sequence frame count: "loop3:1600" overrides --n-frames
+        # (the long-trajectory row runs alongside the 240-frame ones)
+        n_frames = args.n_frames
+        if ":" in kind:
+            kind, nf = kind.split(":", 1)
+            n_frames = int(nf)
         seq_dir = os.path.join(args.out_dir, kind)
         os.makedirs(seq_dir, exist_ok=True)
         seed = seq_seed.get(kind, zlib.crc32(kind.encode()) % 997)
-        results.append(evaluate_sequence(seq_dir, kind, args.n_frames,
+        results.append(evaluate_sequence(seq_dir, kind, n_frames,
                                          seed=seed,
                                          skip_ref=args.skip_ref,
                                          reuse=args.reuse,

@@ -215,7 +215,7 @@ class REBVOParameters:
                                    # anchored metric depths over the
                                    # directed-matching correspondences
                                    # (kernels/stereo.velocity_scale_refine)
-    StereoScaleBaseFrames: int = 12  # scale-anchor epoch length (frames)
+    StereoScaleBaseFrames: int = 8   # scale-anchor epoch length (frames)
                                    # for the long-baseline translation-
                                    # scale observer (kernels/stereo.
                                    # anchor_scale_measure): per-frame

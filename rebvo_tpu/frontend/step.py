@@ -513,23 +513,39 @@ class VOFrontend:
                 dres.new, state.klm, V, cam.zfm,
                 k_px=float(p.LocationUncertaintyMatch) / 2.0)
             s_meas = jnp.where(est_ok & (n_sc >= 100), s_meas, 1.0)
-            at_epoch = state.aAge >= p.StereoScaleBaseFrames
             aV_cur = R.T @ state.aV + V
             aR_cur = R.T @ state.aR
-            s_long, n_long = anchor_scale_measure(
+            s_long, n_long, b_med = anchor_scale_measure(
                 dres.new, aR_cur, aV_cur, cam.zfm)
-            # the accumulated-motion measurement is valid at ANY age
-            # >= 4 (signal already several times the noise floor), so it
-            # runs continuously at a soft gain instead of only at the
-            # epoch boundary — no sawtooth, no acceleration lag
-            s_long = jnp.where(est_ok & (state.aAge >= 4) & (n_long >= 50),
-                               s_long, 1.0)
+            # Age-based epochs (a signal-based gate was tried and is
+            # self-referential through the matcher's prediction
+            # attenuation — both under- and over-estimates pull the
+            # measured displacement toward themselves).
+            at_epoch = state.aAge >= p.StereoScaleBaseFrames
+            s_long = jnp.where(
+                est_ok & (state.aAge >= 4) & (n_long >= 50),
+                s_long, 1.0)
             # Post-bootstrap only the EPOCH observer drives the level:
             # the per-frame ratio is biased ~7% low by the matcher's
             # near-prediction attenuation (measured s_meas ~0.93 at a
             # correct magnitude), which at any nonzero gain leaks a
             # steady downward drift between epochs.
-            upd = s_meas ** jnp.where(boot, 1.0, 0.0) * s_long ** 0.8
+            # The accumulated-motion reading lags the current magnitude
+            # by ~half the anchor age (it averages over the window), so
+            # a flat high loop gain rings in a ~4x-delay limit cycle
+            # (measured on dolly_st at gain 0.8 with the early 4-dof
+            # measurement: ratio swinging 0.24-7.05, ~28-frame period),
+            # while a flat low gain lets a persistent solver drift hold
+            # a bias (loop_st at 0.15: align 1.26). With the 6-dof
+            # anchor refinement the readings are clean enough for a
+            # strong out-of-band gain; the deadband keeps reading noise
+            # from churning the level once it is within ~5%.
+            s_long_exp = jnp.where(jnp.abs(s_long - 1.0) > 0.05,
+                                   0.8, 0.25)
+            s_long_exp = jnp.maximum(s_long_exp, jnp.where(
+                state.frame_count <= 3 * p.BootstrapRescaleFrames,
+                0.5, 0.0))
+            upd = s_meas ** jnp.where(boot, 0.6, 0.0) * s_long ** s_long_exp
             upd = jnp.where(est_ok, jnp.clip(upd, 0.5, 2.0), 1.0)
             V = V * upd
             C_vel = jnp.clip(C_vel * upd, 0.05, 50.0)

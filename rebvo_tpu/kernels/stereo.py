@@ -310,45 +310,65 @@ def anchor_scale_measure(klm: KeylineMap, aR: Array, aV: Array, zfm,
     a = (q1x - q0x) * klm.ux + (q1y - q0y) * klm.uy
     b = (klm.px - q0x) * klm.ux + (klm.py - q0y) * klm.uy
 
-    # Joint (scale, rotation-correction) estimation. The pose solver
-    # trades translation against rotation (for the far field their image
-    # motions are nearly indistinguishable), so the accumulated aR
-    # carries a compensating rotation error that HIDES the translation
-    # deficit from a scale-only regression (measured: scale-only read
-    # 0.99 while |aV| was 31% short with GT-verified anchors). Solving
-    #     b_i = s * a_i + (J_w,i dw) . u_i
-    # for x = [s, zf*dw] identifies the scale because the anchors span
-    # 1.8-8 m of depth: rotation moves all of them alike, translation
-    # moves them in proportion to rho.
+    # Full 6-dof relative-pose refinement over the metric anchors (a
+    # normal-projected PnP). The pose solver trades translation against
+    # rotation (their far-field image motions are nearly alike), so the
+    # accumulated (aR, aV) carries compensating errors that a scale-only
+    # regression cannot see (measured: scale-only read 0.99 while |aV|
+    # was 31% short with GT-verified anchors), and a (scale, rotation)
+    # solve still mis-reads forward motion whose DIRECTION is off.
+    # Solving the full correction
+    #     b_i - a_i = (J_t dt + J_w dw) . u_i
+    # around the prediction identifies everything because the anchors
+    # span 1.8-8 m of metric depth: rotation moves all of them alike,
+    # translation moves them in proportion to rho. Only the resulting
+    # translation-magnitude ratio |aV + dt| / |aV| feeds back.
     jx_wx = -q0x * q0y / zfm
     jx_wy = zfm + q0x * q0x / zfm
     jx_wz = -q0y
     jy_wx = -(zfm + q0y * q0y / zfm)
     jy_wy = q0x * q0y / zfm
     jy_wz = q0x
-    # columns scaled by 1/zf so x[1:] = zf*dw stays O(px) — conditions
-    # the 4x4 normal system for f32
+    # w columns scaled by 1/zf (x = zf*dw in px), t columns by the
+    # median inverse depth (x = dt/med_depth in px) — conditions the
+    # 6x6 normal system for f32
     c1 = (jx_wx * klm.ux + jy_wx * klm.uy) / zfm
     c2 = (jx_wy * klm.ux + jy_wy * klm.uy) / zfm
     c3 = (jx_wz * klm.ux + jy_wz * klm.uy) / zfm
-    A = jnp.stack([a, c1, c2, c3], axis=-1)          # [K, 4]
+    invz = 1.0 / jnp.where(jnp.abs(z1) > 1e-9, z1, 1e-9)
+    rho_med = masked_median(rho, use, fallback=1.0)
+    tsc = 1.0 / (zfm * jnp.maximum(rho_med, RHO_MIN))  # metres per unit x
+    t1 = zfm * invz * klm.ux * tsc
+    t2 = zfm * invz * klm.uy * tsc
+    t3 = -(q1x * klm.ux + q1y * klm.uy) * invz * tsc
+    A = jnp.stack([t1, t2, t3, c1, c2, c3], axis=-1)     # [K, 6]
+    r0 = b - a
 
     w = use.astype(dt)
-    x = jnp.asarray([1.0, 0.0, 0.0, 0.0], dt)
+    x = jnp.zeros((6,), dt)
     for _ in range(3):
         Aw = A * w[:, None]
-        AtA = Aw.T @ A + 1e-6 * jnp.eye(4, dtype=dt)
-        Atb = Aw.T @ b
+        AtA = Aw.T @ A + 1e-4 * jnp.eye(6, dtype=dt)
+        Atb = Aw.T @ r0
         x = jnp.linalg.solve(AtA, Atb)
-        resid = b - A @ x
+        resid = r0 - A @ x
         w = jnp.where(use & (jnp.abs(resid) <= k_px), 1.0, 0.0)
-    s = x[0]
+    dtv = x[:3] * tsc                 # undo column scaling -> metres
+    t_new = aV + dtv
+    s = jnp.linalg.norm(t_new) / jnp.maximum(jnp.linalg.norm(aV), 1e-12)
     n_used = jnp.sum(w > 0).astype(jnp.int32)
-    # excitation guard: without enough translation signal the s column
-    # is near-zero and the solve is rotation-dominated
+    # excitation guard: without enough translation signal the solve is
+    # rotation-dominated
     sig = jnp.sum(w * a * a)
     ok = (n_used > 50) & (s > 0.05) & (s < 50.0) & (sig > 1.0)
-    return jnp.where(ok, s, 1.0), n_used
+    # median MEASURED displacement |b| — the caller's signal-strength
+    # epoch gate (scenes differ 2x+ in px-per-frame; age-based epochs
+    # give slow scenes too little signal and fast scenes too much lag).
+    # Gating on the predicted |a| would be self-referential: an
+    # underestimated velocity shrinks |a|, closes the gate, and locks
+    # out its own correction.
+    b_med = masked_median(jnp.abs(b), use, fallback=0.0)
+    return jnp.where(ok, s, 1.0), n_used, b_med
 
 
 def fuse_stereo_depth(klm: KeylineMap, stereo_m_id: Array, stereo_rho: Array,
