@@ -249,11 +249,9 @@ def phase_scan(data):
                 chunk_ms=[round(float(t) * 1e3, 3) for t in times])
 
 
-def phase_batched(data):
+def _measure_batched(fe, lanes):
     import jax
     import jax.numpy as jnp
-    params, fe = _setup()
-    lanes = data["lanes"]
     B = lanes.shape[0]
     states = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), fe.init())
@@ -269,8 +267,24 @@ def phase_batched(data):
         states, _ = stepv(states, f1 if i % 2 else f2,
                           jnp.full((B,), 0.05 * (i + 2)))
     jax.block_until_ready(states)
-    fps = B * n_iter / (time.perf_counter() - t0)
-    return dict(batched_fps=round(fps, 2), batch=B)
+    return B * n_iter / (time.perf_counter() - t0)
+
+
+def phase_batched(data):
+    from rebvo_tpu.frontend.step import VOFrontend
+    params, fe = _setup()
+    lanes = data["lanes"]
+    fps = _measure_batched(fe, lanes)
+    # TrackKeyFrames on/off A-B (round-4 review #4): the library default
+    # flipped to 1 in round 4 and the batched number quietly dropped 22%
+    # vs round 2 — attribute the per-frame KF chain/augment cost
+    # explicitly instead of leaving the regression unexplained.
+    fe_nokf = VOFrontend(params.replace(TrackKeyFrames=0))
+    fps_nokf = _measure_batched(fe_nokf, lanes)
+    return dict(batched_fps=round(fps, 2), batch=lanes.shape[0],
+                batched_fps_nokf=round(fps_nokf, 2),
+                kf_tracking_overhead_pct=round(
+                    100.0 * (fps_nokf - fps) / fps, 1))
 
 
 def phase_stages(data):
@@ -330,6 +344,17 @@ def phase_warm(data):
     st3 = fe.bootstrap(st3, frames[0], jnp.asarray(0.0))
     st3, _ = fe.step(st3, frames[1], jnp.asarray(0.05))
     profiling.stage_breakdown(fe, st3, frames[2], n=1)
+    # the batched phase's TrackKeyFrames=0 A-B variant
+    from rebvo_tpu.frontend.step import VOFrontend
+    fe0 = VOFrontend(params.replace(TrackKeyFrames=0))
+    states0 = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), fe0.init())
+    stepv0 = jax.jit(jax.vmap(fe0.step_fn))
+    bootv0 = jax.jit(jax.vmap(fe0.bootstrap_fn))
+    states0 = bootv0(states0, jnp.asarray(lanes[:, 0]), jnp.zeros((B,)))
+    states0, _ = stepv0(states0, jnp.asarray(lanes[:, 1]),
+                        jnp.full((B,), 0.05))
+    jax.block_until_ready(states0)
     return dict(warmed=True,
                 warm_wall_s=round(time.perf_counter() - t_start, 1))
 

@@ -1,5 +1,7 @@
 """CLI: run VO/VIO on one sequence (the reference's rebvorun,
-app/rebvorun/main.cpp:58-140, minus the interactive keys).
+app/rebvorun/main.cpp:58-140). `--interactive` binds the reference's
+stdin command loop (q/s/p/r/k/f/a, main.cpp:92-140) to the VOSystem
+API.
 
 Examples:
     # EuRoC directory with the shipped-style config
@@ -20,6 +22,103 @@ import argparse
 import os
 import sys
 import time
+
+
+_HELP_KEYS = """Interactive commands (reference app/rebvorun/main.cpp:45-56):
+  q: quit                        s: save keyframes + pose log, then quit
+  p: snapshot current frame      r: reset depth/trajectory
+  k: toggle keyframe pushes      f: toggle frame-by-frame (and advance)
+  a: advance one frame (frame-by-frame mode)"""
+
+
+def interactive_loop(params, seq, out_dir: str,
+                     max_frames: int = 0):
+    """The reference rebvorun's stdin command loop
+    (app/rebvorun/main.cpp:92-140) bound to the VOSystem API. Runs the
+    sequence on a worker loop; stdin commands are applied between
+    frames. Returns the VOSystem."""
+    import queue
+    import threading
+
+    import numpy as np
+
+    from rebvo_tpu.system import VOSystem
+
+    sys_ = VOSystem(params)
+    cmds: "queue.Queue[str]" = queue.Queue()
+
+    def reader():
+        for line in iter(sys.stdin.readline, ""):
+            for ch in line.strip():
+                cmds.put(ch)
+
+    threading.Thread(target=reader, daemon=True).start()
+    print(_HELP_KEYS, flush=True)
+
+    frame_by_frame = False
+    kf_enabled = True
+    savekf = False
+    quit_ = False
+    n_done = 0
+    for item in seq:
+        # frame-by-frame gate (rebvo_first_t.cpp:154-159): block until a
+        # command arrives; 'a'/'f' advance
+        while True:
+            try:
+                c = cmds.get(block=frame_by_frame, timeout=0.2)
+            except queue.Empty:
+                break
+            if c == "q":
+                quit_ = True
+            elif c == "s":
+                savekf = True
+                quit_ = True
+            elif c == "p":
+                from PIL import Image
+                t, frame = item[0], item[1]
+                g = np.clip(np.asarray(frame) / 3.0, 0, 255).astype(
+                    np.uint8)
+                snap = os.path.join(out_dir, f"snapshot_{n_done:06d}.png")
+                Image.fromarray(g, mode="L").save(snap)
+                print(f"snapshot -> {snap}", flush=True)
+            elif c == "r":
+                sys_.Reset()
+                print("reset requested", flush=True)
+            elif c == "k":
+                kf_enabled = not kf_enabled
+                print(f"keyframe pushes {'on' if kf_enabled else 'off'}",
+                      flush=True)
+            elif c == "f":
+                frame_by_frame = not frame_by_frame
+                break
+            elif c == "a":
+                break
+            else:
+                print(_HELP_KEYS, flush=True)
+            if quit_ or not frame_by_frame:
+                break
+        if quit_:
+            break
+        if len(item) == 4:
+            t, frame, win, pair = item
+        else:
+            t, frame, win = item
+            pair = None
+        sys_.kf_push_enabled = kf_enabled
+        sys_.process_frame(frame, t, win, frame_pair=pair)
+        n_done += 1
+        if n_done % 50 == 0:
+            print(f"frame {n_done}", flush=True)
+        if max_frames and n_done >= max_frames:
+            break
+    if savekf:
+        kf_path = os.path.join(out_dir, "kf_list.npz")
+        poses_path = os.path.join(out_dir, "poses_list.npz")
+        sys_.TakeSnapshot(kf_path, poses_path)
+        print(f"saved KF -> {kf_path}; PG -> {poses_path}", flush=True)
+    sys_.save_outputs(out_dir)
+    print(f"processed {n_done} frames (interactive)", flush=True)
+    return sys_
 
 
 def main(argv=None):
@@ -52,6 +151,10 @@ def main(argv=None):
     ap.add_argument("--save-kf", default=None,
                     help="keyframe store output path "
                          "(default <out-dir>/kf_list.npz)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="reference rebvorun stdin command loop "
+                         "(q/s/p/r/k/f/a, app/rebvorun/main.cpp:92-140) "
+                         "driving the VOSystem API")
     args = ap.parse_args(argv)
 
     import jax
@@ -111,6 +214,11 @@ def main(argv=None):
             NavLogCap=max(params.NavLogCap, n_total + 8))
     except TypeError:
         pass
+
+    if args.interactive:
+        interactive_loop(params, seq, args.out_dir,
+                         max_frames=args.max_frames)
+        return
 
     fe = VOFrontend(params)
     umap = build_undistort_map(fe.cam) if params.useUndistort else None

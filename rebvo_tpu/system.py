@@ -46,6 +46,7 @@ class VOSystem:
         # keyframe store + pose-graph log (TrackKeyFrames path)
         self.kf_store = None
         self.pose_log = None
+        self.kf_push_enabled = True   # toggleKeyFrames (rebvo.h:462)
         if params.TrackKeyFrames:
             from rebvo_tpu.backend.keyframe import KeyframeStore
             from rebvo_tpu.backend.posegraph import PoseGraphLog
@@ -192,7 +193,7 @@ class VOSystem:
         if self.kf_store is not None:
             from rebvo_tpu.backend.keyframe import push_keyframe
             from rebvo_tpu.backend.posegraph import OdometryMeas
-            if bool(out.kf_saved):
+            if self.kf_push_enabled and bool(out.kf_saved):
                 self.kf_store = push_keyframe(
                     self.kf_store, self.state.klm, self.state.t,
                     self.state.K_scale, self.state.Pose, self.state.Pos,
