@@ -449,11 +449,21 @@ def run_reference(seq_dir: str, timeout: float = 600.0, vi: bool = False,
 
 
 def run_repo(seq_dir: str, timeout: float = 1800.0, vi: bool = False,
-             dist: bool = False, st: bool = False, kf_every: int = 0):
+             dist: bool = False, st: bool = False, kf_every: int = 0,
+             overrides: dict = None, out_tag: str = ""):
     """Run this repo's VO (CPU backend, subprocess for isolation);
-    returns (positions, wall_seconds)."""
-    out_dir = os.path.join(seq_dir, "repo_out")
-    cfg = write_parity_config(seq_dir, vi=vi, dist=dist, st=st)
+    returns (positions, wall_seconds). `overrides` patches repo-side
+    config keys (control rows, e.g. BootstrapRescaleFrames=0) into a
+    tagged config + output dir so the canonical run is untouched."""
+    out_dir = os.path.join(seq_dir, "repo_out" + out_tag)
+    if overrides:
+        from rebvo_tpu.config import save_config
+        p = parity_params(seq_dir, vi=vi, dist=dist, st=st).replace(
+            **overrides)
+        cfg = os.path.join(seq_dir, "GlobalConfig_parity" + out_tag)
+        save_config(p, cfg)
+    else:
+        cfg = write_parity_config(seq_dir, vi=vi, dist=dist, st=st)
     cmd = [sys.executable, "-m", "rebvo_tpu.apps.run_vo", "--config", cfg,
            "--cpu", "--out-dir", out_dir]
     if kf_every:
@@ -556,12 +566,23 @@ def evaluate_sequence(seq_dir, kind, n_frames, seed, skip_ref=False,
                       reuse=False, ba_every=0):
     from rebvo_tpu.io.trajectory import align_umeyama, ate_rmse
 
+    # control-row suffix `_b0`: same dataset + reference run as the base
+    # kind, but the repo runs REFERENCE-EXACT (BootstrapRescaleFrames=0
+    # — no VI warm-up fork; VERDICT r4 #8): quantifies the fork's
+    # cost/benefit against ate_repo_vs_ref.
+    overrides, out_tag = None, ""
+    label = kind
+    if kind.endswith("_b0"):
+        kind = kind[:-3]
+        overrides = {"BootstrapRescaleFrames": 0}
+        out_tag = "_b0"
+
     st = kind.endswith("_st")
     base_kind = kind[:-3] if st else kind
     dist = base_kind.endswith("_dist")
     base_kind = base_kind[:-5] if dist else base_kind
     vi = base_kind.endswith("_vi")
-    res = {"sequence": kind, "n_frames": n_frames, "seed": seed,
+    res = {"sequence": label, "n_frames": n_frames, "seed": seed,
            "mode": ("visual-inertial" if vi else "mono")
                    + (" distorted" if dist else "")
                    + (" stereo" if st else "")}
@@ -599,7 +620,8 @@ def evaluate_sequence(seq_dir, kind, n_frames, seed, skip_ref=False,
 
     print(f"[{kind}] running repo VO ...", flush=True)
     repo_pos, repo_wall = run_repo(seq_dir, vi=vi, dist=dist, st=st,
-                                   kf_every=ba_every)
+                                   kf_every=ba_every,
+                                   overrides=overrides, out_tag=out_tag)
     res["repo_wall_s"] = round(repo_wall, 2)
 
     # skip the bootstrap frames both systems spend converging depth

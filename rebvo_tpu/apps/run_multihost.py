@@ -325,6 +325,7 @@ def main(argv=None):
         physical_cores=ncores,
         scaling=points,
         ba_big=ba_big,
+        superlinear_note='raw efficiency above 1.0 at small N is a BASELINE artifact, not real superlinearity: the t1 process is pinned to one core where its XLA intra-op thread pool contends with itself, while each process of an N-run gets a whole core; efficiency_core_normalised therefore clips at 1.0',
         topology="N CPU processes x 1 XLA device each, pinned when "
                  "cores allow (jax.distributed over localhost grpc; the "
                  "TPU-pod topology is 1 process/host with local chips). "

@@ -384,7 +384,8 @@ def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
                            max_s_rho: float = 20.0,
                            field_radius: int = 4,
                            window: int = 2,
-                           rho_sigma: float = 3.0) -> BAProblem:
+                           rho_sigma: float = 3.0,
+                           mutual_px: float = 2.0) -> BAProblem:
     """Build a BA problem from a KeyframeStore by re-matching each
     keyframe's keylines into the `window` FOLLOWING keyframes (the
     correspondence source the reference's kfvo builds online via
@@ -441,8 +442,33 @@ def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
         sig = jnp.sqrt(moved.s_rho ** 2 + dst.s_rho[js] ** 2)
         rho_ok = jnp.abs(moved.rho - dst.rho[js]) <= rho_sigma * sig
 
+        # Round-trip symmetry gate (the offline analogue of kfvo's
+        # mutualExclusionSimple, reference src/mtracklib/kfvo.cpp:423-525
+        # — VERDICT r4 #3a): transport the MATCHED keyline back into the
+        # source keyframe with ITS OWN stored depth and require it to
+        # land on the source keyline. An occlusion-silhouette match (the
+        # projected landmark grabbing the foreground edge that occludes
+        # it) carries the occluder's depth, so its back-projection lands
+        # off the source by the parallax of the depth gap — exactly the
+        # biased-correspondence class that made aggressive re-matching
+        # DEGRADE the round-4 KF ATE 3x.
+        Rb = R.T
+        tb = -(R.T @ t)
+        rho_d = jnp.maximum(dst.rho[js], 1e-6)
+        Pz = 1.0 / rho_d
+        Px = dst.px[js] * Pz / zfm
+        Py = dst.py[js] * Pz / zfm
+        bx3 = Rb[0, 0] * Px + Rb[0, 1] * Py + Rb[0, 2] * Pz + tb[0]
+        by3 = Rb[1, 0] * Px + Rb[1, 1] * Py + Rb[1, 2] * Pz + tb[1]
+        bz3 = Rb[2, 0] * Px + Rb[2, 1] * Py + Rb[2, 2] * Pz + tb[2]
+        bz3 = jnp.where(jnp.abs(bz3) > 1e-9, bz3, 1e-9)
+        bx = bx3 * zfm / bz3
+        by = by3 * zfm / bz3
+        mutual_ok = (jnp.square(bx - src.px) + jnp.square(by - src.py)
+                     <= mutual_px * mutual_px)
+
         good = (src.valid & dst.valid[js] & (j >= 0) & grad_ok & rho_ok &
-                ok_pair & (src.s_rho <= max_s_rho))
+                mutual_ok & ok_pair & (src.s_rho <= max_s_rho))
 
         w = jnp.where(good, 1.0 / jnp.maximum(dst.s_rho[js], 0.05), 0.0)
         return dict(
