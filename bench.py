@@ -243,7 +243,32 @@ def phase_scan(data):
     times = np.asarray(times)
     healthy = times < 3.0 * times.min()
     fps_scan = float(CH * healthy.sum() / times[healthy].sum())
+
+    # LIVE path (round-4 review #7): a 2-frame micro-scan — per-frame
+    # outputs still delivered every dispatch, 1 frame of added latency,
+    # but HALF the per-call host dispatch overhead that caps the plain
+    # per-frame path (serial_gap: ~0.6 ms host vs ~0.34 ms device).
+    CH2 = 2
+    fw2 = jnp.stack([frames[1], frames[2]])
+    tw2 = jnp.asarray([4.05, 4.10], jnp.float32)
+    st, _ = fe.step_scan(st, fw2, tw2)
+    jax.block_until_ready(st)
+    t2 = []
+    for c in range(24):
+        fchunk = jnp.stack([frames[1 + (c * CH2 + i) % ncyc]
+                            for i in range(CH2)])
+        tch = jnp.asarray(5.0 + 0.05 * (np.arange(CH2) + c * CH2),
+                          jnp.float32)
+        t0 = time.perf_counter()
+        st, outs = fe.step_scan(st, fchunk, tch)
+        jax.block_until_ready(st)
+        t2.append(time.perf_counter() - t0)
+    t2 = np.asarray(t2)
+    h2 = t2 < 3.0 * t2.min()
+    fps_live = float(CH2 * h2.sum() / t2[h2].sum())
+
     return dict(serial_fps_scan8=round(fps_scan, 2),
+                live_fps_chunk2=round(fps_live, 2),
                 degraded_chunk_fraction=round(
                     float((~healthy).sum()) / times.size, 4),
                 chunk_ms=[round(float(t) * 1e3, 3) for t in times])
@@ -302,8 +327,10 @@ def phase_stages(data):
     stage_ms = profiling.stage_breakdown(fe, st, frames[1], n=10)
     sol = profiling.roofline(fe, stage_ms)
     ca = profiling.step_cost_analysis(fe, st, frames[1])
+    floor_ms = profiling.matching_gather_floor(fe, st, n=10)
     return dict(stage_ms={k: round(v, 4) for k, v in stage_ms.items()},
                 speed_of_light={k: round(v, 4) for k, v in sol.items()},
+                matching_gather_floor_ms=round(floor_ms, 4),
                 xla_flops_per_step=ca["flops"])
 
 
@@ -331,6 +358,9 @@ def phase_warm(data):
     st2 = fe.init()
     st2 = fe.bootstrap(st2, frames[0], jnp.asarray(0.0))
     st2, _ = fe.step_scan(st2, fchunk, tch)
+    # 2-frame live micro-scan program (phase_scan's live_fps_chunk2)
+    st2, _ = fe.step_scan(st2, jnp.stack([frames[1], frames[2]]),
+                          jnp.asarray([0.45, 0.50], jnp.float32))
     B = lanes.shape[0]
     states = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), fe.init())
@@ -482,7 +512,15 @@ def main():
             "dispatch_overhead_ms": serial.get("dispatch_overhead_ms"),
             "serial_fps_nondonated": serial.get("serial_fps_nondonated"),
             "serial_fps_scan8": scan.get("serial_fps_scan8"),
+            "live_fps_chunk2": scan.get("live_fps_chunk2"),
             "healthy_chunks": serial.get("healthy_chunks"),
+        },
+        "kf_tracking_ab": {
+            # TrackKeyFrames on (library default) vs off (round-4 #4)
+            "batched_fps_default_kf_on": batched.get("batched_fps"),
+            "batched_fps_nokf": batched.get("batched_fps_nokf"),
+            "kf_tracking_overhead_pct": batched.get(
+                "kf_tracking_overhead_pct"),
         },
         "degraded_chunk_fraction": {
             "serial": serial.get("degraded_chunk_fraction"),
@@ -496,6 +534,8 @@ def main():
                          "moving camera",
         "warm_wall_s": warm.get("warm_wall_s"),
         "stage_ms": stages.get("stage_ms", {}),
+        "matching_gather_floor_ms": stages.get(
+            "matching_gather_floor_ms"),
         "speed_of_light": stages.get("speed_of_light", {}),
         "xla_flops_per_step": flops,
         "achieved_gflops_serial": round(achieved_gflops, 2),

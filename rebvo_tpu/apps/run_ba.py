@@ -36,6 +36,15 @@ def main(argv=None):
     ap.add_argument("--window", type=int, default=2,
                     help="match each keyframe into this many followers")
     ap.add_argument("--huber-k", type=float, default=3.0)
+    ap.add_argument("--mutual-px", type=float, default=0.0,
+                    help="round-trip back-projection cull tolerance "
+                         "(px; 0 = off)")
+    ap.add_argument("--revisit-dist", type=float, default=0.0,
+                    help="also associate keyframe pairs whose positions "
+                         "are within this distance (loop-closure pairs)")
+    ap.add_argument("--revisit-min-gap", type=int, default=8)
+    ap.add_argument("--landmark-stride", type=int, default=1,
+                    help="thin the landmark set to every Nth keyline")
     ap.add_argument("--shards", type=int, default=0,
                     help="shard landmarks over an n-device mesh "
                          "(0 = single device)")
@@ -74,7 +83,11 @@ def main(argv=None):
             width=cam.width, height=cam.height,
             cx=float(cam.cx), cy=float(cam.cy),
             match_thresh=params.TrackerMatchThresh,
-            field_radius=args.field_radius, window=args.window)
+            field_radius=args.field_radius, window=args.window,
+            mutual_px=args.mutual_px,
+            revisit_dist=args.revisit_dist,
+            revisit_min_gap=args.revisit_min_gap,
+            landmark_stride=args.landmark_stride)
         n_obs = int(jnp.sum(prob.ovalid))
         if args.shards > 1:
             from rebvo_tpu.parallel.mesh import data_mesh

@@ -385,7 +385,10 @@ def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
                            field_radius: int = 4,
                            window: int = 2,
                            rho_sigma: float = 3.0,
-                           mutual_px: float = 2.0) -> BAProblem:
+                           mutual_px: float = 0.0,
+                           revisit_dist: float = 0.0,
+                           revisit_min_gap: int = 8,
+                           landmark_stride: int = 1) -> BAProblem:
     """Build a BA problem from a KeyframeStore by re-matching each
     keyframe's keylines into the `window` FOLLOWING keyframes (the
     correspondence source the reference's kfvo builds online via
@@ -401,6 +404,15 @@ def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
     the translation scales of consecutive pairs — with window=1 the
     monocular problem factors into independent two-view problems, each
     with a free scale gauge.
+
+    `revisit_dist > 0` additionally associates NON-consecutive keyframe
+    pairs whose stored positions are within that distance (and at least
+    `revisit_min_gap` indices apart) — loop-closure-style constraints
+    that tie a long trajectory's revisit cycles together, which is
+    where offline BA pays against dead-reckoned drift (consecutive-pair
+    constraints only smooth what the online filter already averaged).
+    `landmark_stride` thins the landmark set (every Nth keyline) to
+    bound problem size on long runs.
     """
     from rebvo_tpu.backend.kfvo import relative_pose, transform_map
     from rebvo_tpu.kernels.field import build_field
@@ -464,11 +476,24 @@ def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
         bz3 = jnp.where(jnp.abs(bz3) > 1e-9, bz3, 1e-9)
         bx = bx3 * zfm / bz3
         by = by3 * zfm / bz3
-        mutual_ok = (jnp.square(bx - src.px) + jnp.square(by - src.py)
-                     <= mutual_px * mutual_px)
+        # tolerance grows with the parallax the matched keyline's OWN
+        # depth uncertainty induces (first order: zf * |t| * s_rho): a
+        # legitimately noisy depth back-projects off by that much, while
+        # an occlusion match is off by the full foreground/background
+        # depth gap — typically many sigma
+        if mutual_px > 0:
+            tol = mutual_px + zfm * jnp.linalg.norm(t) * dst.s_rho[js]
+            mutual_ok = (jnp.square(bx - src.px) +
+                         jnp.square(by - src.py) <= tol * tol)
+        else:
+            # opt-in (run_ba --mutual-px): measured on the parity
+            # stores, the round-trip cull prunes more good than bad
+            # correspondences once the rho-consistency gate has run;
+            # the measured BA win came from revisit PAIRING instead
+            mutual_ok = jnp.ones_like(rho_ok)
 
         good = (src.valid & dst.valid[js] & (j >= 0) & grad_ok & rho_ok &
-                mutual_ok & ok_pair & (src.s_rho <= max_s_rho))
+                mutual_ok & ok_pair & (src.s_rho <= max_s_rho) & lm_keep)
 
         w = jnp.where(good, 1.0 / jnp.maximum(dst.s_rho[js], 0.05), 0.0)
         return dict(
@@ -478,15 +503,31 @@ def problem_from_keyframes(store, zfm: float, *, width: int, height: int,
             ux=dst.ux[js], uy=dst.uy[js],
             w=w, ovalid=good)
 
+    lm_keep = jnp.arange(K) % max(landmark_stride, 1) == 0
+
     def landmarks(f):
         src = jax.tree_util.tree_map(lambda a: a[f], store.klm)
         return dict(anchor=jnp.full((K,), f, jnp.int32),
                     lpx=src.px, lpy=src.py, rho=src.rho,
-                    lvalid=src.valid & store.valid[f])
+                    lvalid=src.valid & store.valid[f] & lm_keep)
 
     lms = [landmarks(f) for f in range(F - 1)]
-    obs = [pair(f, g) for f in range(F - 1)
-           for g in range(f + 1, min(f + window, F - 1) + 1)]
+    pairs = [(f, g) for f in range(F - 1)
+             for g in range(f + 1, min(f + window, F - 1) + 1)]
+    if revisit_dist > 0:
+        import numpy as _np
+        P = _np.asarray(store.Pos)
+        live = _np.asarray(store.valid)
+        have = set(pairs)
+        for f in range(F - 1):
+            if not live[f]:
+                continue
+            d = _np.linalg.norm(P - P[f], axis=1)
+            for g in range(f + revisit_min_gap, F - 1):
+                if live[g] and d[g] < revisit_dist and (f, g) not in have:
+                    pairs.append((f, g))
+                    have.add((f, g))
+    obs = [pair(f, g) for f, g in pairs]
     catl = lambda name: jnp.concatenate([p[name] for p in lms])
     cato = lambda name: jnp.concatenate([p[name] for p in obs])
     return BAProblem(

@@ -128,6 +128,51 @@ def stage_breakdown(fe, state, frame, n: int = 20) -> Dict[str, float]:
     return out
 
 
+def matching_gather_floor(fe, state, n: int = 20) -> float:
+    """Latency floor (ms) for the directed matcher's gather pattern: the
+    same volume/locality of data-dependent gathers as the real stage —
+    [K, 2*steps] field-image probes along stride-spaced line segments
+    from random bases, one [hit_cap, 8] attribute-row gather per keyline
+    — with ALL matching logic stripped. If the real stage's time is
+    close to this, it sits at the hardware's gather-latency floor and
+    its low HBM utilisation is the cost of random access, not of the
+    kernel (round-4 review #5 done-when criterion)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    p = fe.params
+    H, W = p.ImageHeight, p.ImageWidth
+    K = p.KeylineMax
+    stride = max(p.MatchFieldStride, 1)
+    steps = int(p.SearchRange / stride) + 3
+    lanes = 2 * steps
+    hit_cap = 8
+
+    rng = np.random.RandomState(7)
+    bx = rng.randint(0, W, size=(K, 1))
+    by = rng.randint(0, H, size=(K, 1))
+    ang = rng.uniform(0, 2 * np.pi, size=(K, 1))
+    off = (np.arange(lanes)[None, :] - steps) * stride
+    ix = np.clip(bx + (np.cos(ang) * off).astype(np.int64), 0, W - 1)
+    iy = np.clip(by + (np.sin(ang) * off).astype(np.int64), 0, H - 1)
+    lin = jnp.asarray(iy * W + ix, jnp.int32)
+    jrows = jnp.asarray(rng.randint(0, K, size=(K, hit_cap)), jnp.int32)
+
+    field_flat = state.field_img.reshape(-1)
+    attrs = jnp.stack([state.klm.gx, state.klm.gy, state.klm.n_m,
+                       state.klm.rho, state.klm.s_rho, state.klm.x,
+                       state.klm.y, state.klm.gx * 0], axis=-1)
+
+    def kernel(fimg, at, idx, jr):
+        probes = fimg[idx]                       # [K, lanes] gathers
+        rows = at[jr]                            # [K, hit_cap, 8] rows
+        return jnp.sum(probes) + jnp.sum(rows)
+
+    dt, _ = _timeit(jax.jit(kernel), field_flat, attrs, lin, jrows, n=n)
+    return dt * 1e3
+
+
 def roofline(fe, stage_ms: Dict[str, float]) -> Dict[str, float]:
     """Speed-of-light utilisation for the two dominant kernels, from
     explicit byte models (SURVEY.md §7.2):
