@@ -697,9 +697,13 @@ def main(argv=None):
         if ":" in kind:
             kind, nf = kind.split(":", 1)
             n_frames = int(nf)
-        seq_dir = os.path.join(args.out_dir, kind)
+        # control rows (_b0) share the BASE kind's dataset dir + seed so
+        # the reference run and rendering are reused
+        base_dir_kind = kind[:-3] if kind.endswith("_b0") else kind
+        seq_dir = os.path.join(args.out_dir, base_dir_kind)
         os.makedirs(seq_dir, exist_ok=True)
-        seed = seq_seed.get(kind, zlib.crc32(kind.encode()) % 997)
+        seed = seq_seed.get(base_dir_kind,
+                            zlib.crc32(base_dir_kind.encode()) % 997)
         results.append(evaluate_sequence(seq_dir, kind, n_frames,
                                          seed=seed,
                                          skip_ref=args.skip_ref,
