@@ -556,7 +556,7 @@ class VOFrontend:
             # while real accelerations are followed with a ~2-frame lag
             mag2 = jnp.linalg.norm(V)
             sm_ok = leash_ok & est_ok & (mag2 > 1e-12)
-            mag_sm = mag_prev ** 0.6 * jnp.maximum(mag2, 1e-12) ** 0.4
+            mag_sm = mag_prev ** 0.65 * jnp.maximum(mag2, 1e-12) ** 0.35
             V = jnp.where(sm_ok, V * (mag_sm / jnp.maximum(mag2, 1e-12)),
                           V)
             if __import__("os").environ.get("REBVO_DEBUG_SVEL"):
